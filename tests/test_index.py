@@ -1,0 +1,163 @@
+"""FlatIndex / IVFIndex / persistence tests (recall vs brute force, CRUD)."""
+
+import numpy as np
+
+from tpu_rag.index import FlatIndex, IVFIndex, load_index, save_index
+
+
+def _corpus(n=800, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"doc-{i}" for i in range(n)]
+    metas = [
+        {"namespace": ["lore", "history", "meta"][i % 3],
+         "canonicality": ["canon", "non"][i % 2],
+         "i": i}
+        for i in range(n)
+    ]
+    docs = [f"document number {i}" for i in range(n)]
+    return ids, vecs, docs, metas
+
+
+def _brute_ids(index_ids, vecs, q, k):
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = vn @ qn
+    order = np.argsort(-scores, kind="stable")[:k]
+    return [index_ids[i] for i in order]
+
+
+def test_flat_exact_recall():
+    ids, vecs, docs, metas = _corpus()
+    idx = FlatIndex(64, dtype="float32")
+    idx.add(ids, vecs, docs, metas)
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal(64).astype(np.float32)
+    res = idx.search(q, 10)
+    assert res.ids[0] == _brute_ids(ids, vecs, q, 10)
+    assert res.documents[0][0].startswith("document number")
+    assert all(res.distances[0][i] <= res.distances[0][i + 1] + 1e-6 for i in range(9))
+
+
+def test_flat_bf16_recall_at_10():
+    ids, vecs, docs, metas = _corpus(n=2000)
+    idx = FlatIndex(64, dtype="bfloat16")
+    idx.add(ids, vecs, docs, metas)
+    rng = np.random.default_rng(2)
+    recalls = []
+    for _ in range(5):
+        q = rng.standard_normal(64).astype(np.float32)
+        res = idx.search(q, 10)
+        truth = set(_brute_ids(ids, vecs, q, 10))
+        recalls.append(len(set(res.ids[0]) & truth) / 10)
+    assert np.mean(recalls) >= 0.95
+
+
+def test_flat_namespace_filter():
+    ids, vecs, docs, metas = _corpus()
+    idx = FlatIndex(64, dtype="float32")
+    idx.add(ids, vecs, docs, metas)
+    q = np.random.default_rng(3).standard_normal(64).astype(np.float32)
+    res = idx.search(q, 10, namespace="lore")
+    assert len(res.ids[0]) == 10
+    assert all(m["namespace"] == "lore" for m in res.metadatas[0])
+    res2 = idx.search(q, 10, namespace="lore", canonicality="canon")
+    assert all(m["namespace"] == "lore" and m["canonicality"] == "canon"
+               for m in res2.metadatas[0])
+    # unknown tag -> zero hits, not an error
+    res3 = idx.search(q, 10, namespace="never-seen")
+    assert res3.ids[0] == []
+
+
+def test_flat_upsert_and_delete():
+    idx = FlatIndex(8, dtype="float32")
+    v = np.eye(8, dtype=np.float32)
+    idx.add([f"id{i}" for i in range(8)], v)
+    assert idx.count() == 8
+    # upsert replaces
+    idx.add(["id0"], -v[:1])
+    assert idx.count() == 8
+    got = idx.get("id0")
+    assert got is not None and got["vector"][0] < 0
+    # delete by id
+    assert idx.delete(ids=["id1", "id2"]) == 2
+    assert idx.count() == 6
+    res = idx.search(v[1], 6)
+    assert "id1" not in res.ids[0]
+    # delete by metadata where
+    idx2 = FlatIndex(8, dtype="float32")
+    idx2.add(["a", "b"], v[:2], metadatas=[{"source_key": "x"}, {"source_key": "y"}])
+    assert idx2.delete(where={"source_key": "x"}) == 1
+    assert idx2.count() == 1
+
+
+def test_ivf_recall_vs_flat():
+    ids, vecs, docs, metas = _corpus(n=3000, d=64)
+    ivf = IVFIndex(64, dtype="float32", nlist=32, nprobe=8, use_pallas=False)
+    ivf.add(ids, vecs, docs, metas)
+    rng = np.random.default_rng(5)
+    recalls = []
+    for _ in range(8):
+        q = rng.standard_normal(64).astype(np.float32)
+        truth = set(_brute_ids(ids, vecs, q, 10))
+        res = ivf.search(q, 10)
+        recalls.append(len(set(res.ids[0]) & truth) / 10)
+    assert np.mean(recalls) >= 0.7  # nprobe=8/32 on random data
+    # full probe = exact
+    ivf.nprobe = 32
+    recalls = []
+    for _ in range(8):
+        q = rng.standard_normal(64).astype(np.float32)
+        truth = set(_brute_ids(ids, vecs, q, 10))
+        res = ivf.search(q, 10)
+        recalls.append(len(set(res.ids[0]) & truth) / 10)
+    assert np.mean(recalls) == 1.0
+
+
+def test_ivf_overflow_streaming_add():
+    """New rows are searchable immediately via the overflow buffer."""
+    ids, vecs, docs, metas = _corpus(n=1000, d=32)
+    ivf = IVFIndex(32, dtype="float32", nlist=16, nprobe=16)
+    ivf.add(ids[:900], vecs[:900], docs[:900], metas[:900])
+    ivf.search(vecs[0], 1)  # force initial build
+    ivf.add(ids[900:], vecs[900:], docs[900:], metas[900:])
+    res = ivf.search(vecs[950], 1)
+    assert res.ids[0][0] == "doc-950"
+
+
+def test_ivf_filter():
+    ids, vecs, docs, metas = _corpus(n=1000, d=32)
+    ivf = IVFIndex(32, dtype="float32", nlist=16, nprobe=16)
+    ivf.add(ids, vecs, docs, metas)
+    q = np.random.default_rng(7).standard_normal(32).astype(np.float32)
+    res = ivf.search(q, 8, namespace="history")
+    assert len(res.ids[0]) == 8
+    assert all(m["namespace"] == "history" for m in res.metadatas[0])
+
+
+def test_save_load_roundtrip(tmp_path):
+    ids, vecs, docs, metas = _corpus(n=200, d=32)
+    idx = FlatIndex(32, dtype="float32")
+    idx.add(ids, vecs, docs, metas)
+    save_index(idx, tmp_path / "col")
+    loaded = load_index(tmp_path / "col")
+    assert loaded.count() == 200
+    q = vecs[17]
+    assert loaded.search(q, 1).ids[0][0] == "doc-17"
+    assert loaded.get("doc-5")["metadata"]["i"] == 5
+
+
+def test_save_load_ivf(tmp_path):
+    ids, vecs, docs, metas = _corpus(n=300, d=32)
+    idx = IVFIndex(32, dtype="float32", nlist=8, nprobe=8)
+    idx.add(ids, vecs, docs, metas)
+    save_index(idx, tmp_path / "col")
+    loaded = load_index(tmp_path / "col")
+    assert isinstance(loaded, IVFIndex)
+    assert loaded.search(vecs[42], 1).ids[0][0] == "doc-42"
+
+
+def test_empty_index_search():
+    idx = FlatIndex(16)
+    res = idx.search(np.ones(16, np.float32), 5)
+    assert res.ids == [[]]

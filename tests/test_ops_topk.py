@@ -1,0 +1,116 @@
+"""Kernel unit tests: fused matmul+top-k vs brute-force ground truth.
+
+The reference had no retrieval-quality tests at all (SURVEY.md §4); these
+validate the Pallas kernel (interpret mode on CPU) against an independent
+numpy implementation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_rag.ops import PAD_TAG, fused_matmul_topk, quantize_int8_rows, topk_xla_reference
+
+
+def _make(n=3000, d=384, q=5, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = rng.standard_normal((q, d)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    return qs, x
+
+
+def _numpy_topk(qs, x, k, ns=None, want_ns=-1):
+    scores = qs @ x.T
+    if ns is not None and want_ns >= 0:
+        scores[:, ns != want_ns] = -np.inf
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def test_fused_matches_numpy_f32():
+    qs, x = _make()
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 10)
+    ref_sc, ref_ids = _numpy_topk(qs, x, 10)
+    assert np.array_equal(np.array(ids), ref_ids)
+    np.testing.assert_allclose(np.array(sc), ref_sc, atol=1e-5)
+
+
+def test_xla_reference_matches_numpy():
+    qs, x = _make()
+    sc, ids = topk_xla_reference(jnp.array(qs), jnp.array(x), 10)
+    ref_sc, ref_ids = _numpy_topk(qs, x, 10)
+    assert np.array_equal(np.array(ids), ref_ids)
+
+
+@pytest.mark.parametrize("k", [1, 5, 20])
+def test_fused_various_k(k):
+    qs, x = _make(n=1500)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), k)
+    _, ref_ids = _numpy_topk(qs, x, k)
+    assert np.array_equal(np.array(ids), ref_ids)
+
+
+def test_fused_bf16_recall():
+    qs, x = _make(n=5000)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x, dtype=jnp.bfloat16), 10)
+    _, ref_ids = _numpy_topk(qs, x, 10)
+    recall = np.mean([
+        len(set(np.array(ids)[i]) & set(ref_ids[i])) / 10 for i in range(len(qs))
+    ])
+    assert recall >= 0.95
+
+
+def test_fused_int8_recall():
+    qs, x = _make(n=5000)
+    vals, scales = quantize_int8_rows(jnp.array(x))
+    sc, ids = fused_matmul_topk(jnp.array(qs), vals, 10, db_scales=scales)
+    _, ref_ids = _numpy_topk(qs, x, 10)
+    recall = np.mean([
+        len(set(np.array(ids)[i]) & set(ref_ids[i])) / 10 for i in range(len(qs))
+    ])
+    assert recall >= 0.9
+
+
+def test_fused_metadata_filter():
+    qs, x = _make(n=2000)
+    rng = np.random.default_rng(1)
+    ns = rng.integers(0, 3, 2000).astype(np.int32)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 10,
+                                ns_tags=jnp.array(ns), want_ns=2)
+    ref_sc, ref_ids = _numpy_topk(qs, x, 10, ns=ns, want_ns=2)
+    assert np.array_equal(np.array(ids), ref_ids)
+    assert set(ns[np.array(ids).ravel()]) == {2}
+
+
+def test_fused_filter_fewer_than_k():
+    """When fewer rows match the filter than k, missing slots have id -1."""
+    qs, x = _make(n=300, q=2)
+    ns = np.zeros(300, np.int32)
+    ns[:4] = 7
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 10,
+                                ns_tags=jnp.array(ns), want_ns=7)
+    ids = np.array(ids)
+    sc = np.array(sc)
+    for qi in range(2):
+        valid = np.isfinite(sc[qi])
+        assert valid.sum() == 4
+        assert set(ids[qi][valid]) == {0, 1, 2, 3}
+
+
+def test_fused_small_n():
+    """n smaller than one tile (padding path)."""
+    qs, x = _make(n=17, q=3)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 5)
+    _, ref_ids = _numpy_topk(qs, x, 5)
+    assert np.array_equal(np.array(ids), ref_ids)
+
+
+def test_quantize_roundtrip():
+    _, x = _make(n=100)
+    vals, scales = quantize_int8_rows(jnp.array(x))
+    from tpu_rag.ops import dequantize_int8_rows
+    back = np.array(dequantize_int8_rows(vals, scales))
+    np.testing.assert_allclose(back, x, atol=1.5 / 127)

@@ -1,0 +1,66 @@
+"""Multi-device sharded search tests on the 8-device virtual CPU mesh
+(SURVEY.md §4: xla_force_host_platform_device_count, no pod needed)."""
+
+import numpy as np
+
+import jax
+
+from tpu_rag.index import FlatIndex
+from tpu_rag.parallel import ShardedFlatIndex, mesh_from_spec
+
+
+def test_mesh_from_spec():
+    m = mesh_from_spec("")
+    assert m.shape["data"] == len(jax.devices())
+    m2 = mesh_from_spec("data:4,model:2")
+    assert m2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_matches_single_device():
+    rng = np.random.default_rng(0)
+    n, d = 4000, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    metas = [{"namespace": ["a", "b"][i % 2]} for i in range(n)]
+
+    flat = FlatIndex(d, dtype="float32", use_pallas=False)
+    flat.add(ids, vecs, metadatas=metas)
+    sharded = ShardedFlatIndex(d, dtype="float32", use_pallas=False,
+                               mesh=mesh_from_spec("data:8"))
+    sharded.add(ids, vecs, metadatas=metas)
+
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    r1 = flat.search(q, 10)
+    r2 = sharded.search(q, 10)
+    assert r1.ids == r2.ids
+    for a, b in zip(r1.similarities, r2.similarities):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sharded_filter():
+    rng = np.random.default_rng(1)
+    n, d = 2000, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    metas = [{"namespace": ["a", "b"][i % 2]} for i in range(n)]
+    sharded = ShardedFlatIndex(d, dtype="float32", use_pallas=False,
+                               mesh=mesh_from_spec("data:8"))
+    sharded.add(ids, vecs, metadatas=metas)
+    res = sharded.search(vecs[0], 10, namespace="b")
+    assert all(m["namespace"] == "b" for m in res.metadatas[0])
+    assert len(res.ids[0]) == 10
+
+
+def test_sharded_pallas_interpret():
+    """Pallas kernel inside shard_map (interpret mode on CPU devices)."""
+    rng = np.random.default_rng(2)
+    n, d = 1000, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    flat = FlatIndex(d, dtype="float32", use_pallas=False)
+    flat.add(ids, vecs)
+    sharded = ShardedFlatIndex(d, dtype="float32", use_pallas=True,
+                               mesh=mesh_from_spec("data:8"))
+    sharded.add(ids, vecs)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    assert sharded.search(q, 5).ids == flat.search(q, 5).ids

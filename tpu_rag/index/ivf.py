@@ -1,0 +1,217 @@
+"""IVF (inverted-file) approximate index with on-device k-means.
+
+The scale-out answer to hnswlib's HNSW graph (reference vector_store/
+segments): the corpus is coarsely clustered (spherical k-means, on device —
+tpu_rag/ops/kmeans.py); a query scans only the `nprobe` nearest lists.
+Lists are stored padded to a uniform capacity so the probe is a dense
+gather + batched matmul (static shapes, MXU-friendly) instead of a
+pointer-chasing graph walk.
+
+Streaming ingestion without full rebuild (SURVEY.md §7 "hard parts"):
+new rows land in a flat overflow buffer that is searched exactly and merged
+with the IVF candidates; a full re-cluster happens only when the overflow
+exceeds `rebuild_ratio` of the main partition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rag.index.flat import FlatIndex, SearchResult, _normalize
+from tpu_rag.ops.kmeans import kmeans
+from tpu_rag.ops.quant import quantize_int8_rows
+from tpu_rag.ops.topk import PAD_TAG, topk_xla_reference
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_probe(q, centroids, vec_lists, scale_lists, ns_lists, canon_lists,
+               row_lists, wants, *, nprobe: int, k: int):
+    """q: (Q, d) f32. Returns (scores (Q, k), rows (Q, k) int32 into live-row space)."""
+    sims_c = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, lists = jax.lax.top_k(sims_c, nprobe)                    # (Q, nprobe)
+    cand_v = vec_lists[lists]                                   # (Q, nprobe, cap, d)
+    scores = jnp.einsum("qd,qpcd->qpc", q, cand_v.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    scores = scores * scale_lists[lists]
+    ns = ns_lists[lists]
+    canon = canon_lists[lists]
+    want_ns, want_canon = wants[0], wants[1]
+    ok = (ns != PAD_TAG)
+    ok &= (want_ns < 0) | (ns == want_ns)
+    ok &= (want_canon < 0) | (canon == want_canon)
+    scores = jnp.where(ok, scores, -jnp.inf)
+    qn = q.shape[0]
+    flat_scores = scores.reshape(qn, -1)
+    flat_rows = row_lists[lists].reshape(qn, -1)
+    k_eff = min(k, flat_scores.shape[1])
+    top_sc, pos = jax.lax.top_k(flat_scores, k_eff)
+    top_rows = jnp.take_along_axis(flat_rows, pos, axis=1)
+    top_rows = jnp.where(jnp.isneginf(top_sc), -1, top_rows)
+    return top_sc, top_rows
+
+
+class IVFIndex(FlatIndex):
+    kind = "ivf"
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        dtype: str = "bfloat16",
+        metric: str = "cosine",
+        use_pallas: bool = True,
+        block_n: int = 2048,
+        nlist: int = 0,
+        nprobe: int = 8,
+        kmeans_iters: int = 15,
+        rebuild_ratio: float = 0.2,
+        seed: int = 0,
+    ) -> None:
+        super().__init__(dim, dtype=dtype, metric=metric, use_pallas=use_pallas, block_n=block_n)
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.kmeans_iters = kmeans_iters
+        self.rebuild_ratio = rebuild_ratio
+        self.seed = seed
+        self._main_rows: np.ndarray = np.zeros((0,), np.int64)  # host rows in IVF lists
+
+    # ------------------------------------------------------------- build
+
+    def _auto_nlist(self, n: int) -> int:
+        if self.nlist > 0:
+            return min(self.nlist, n)
+        return max(1, min(int(np.sqrt(n) * 2), n // 8 or 1))
+
+    def _compact(self) -> dict[str, Any]:
+        live = np.flatnonzero(self._alive)
+        n = len(live)
+        snap: dict[str, Any] = {"rows": live, "n": n}
+        overflow_mask = np.ones(n, bool)
+
+        main_rows = self._main_rows[np.isin(self._main_rows, live)] if len(self._main_rows) else np.zeros((0,), np.int64)
+        overflow = n - len(main_rows)
+        need_rebuild = (
+            len(main_rows) == 0
+            or overflow > max(64, int(self.rebuild_ratio * max(1, len(main_rows))))
+        )
+        if need_rebuild and n > 0:
+            main_rows = live
+            self._main_rows = live.astype(np.int64)
+
+        if len(main_rows) > 0:
+            vecs = self._vectors[main_rows].astype(np.float32)
+            nlist = self._auto_nlist(len(main_rows))
+            centroids, assign = kmeans(vecs, nlist, iters=self.kmeans_iters, seed=self.seed)
+            nlist = centroids.shape[0]
+            counts = np.bincount(assign, minlength=nlist)
+            cap = max(8, int(-(-counts.max() // 8) * 8))
+            vec_lists = np.zeros((nlist, cap, self.dim), np.float32)
+            scale_lists = np.ones((nlist, cap), np.float32)
+            ns_lists = np.full((nlist, cap), PAD_TAG, np.int32)
+            canon_lists = np.full((nlist, cap), PAD_TAG, np.int32)
+            row_lists = np.full((nlist, cap), -1, np.int32)
+            # live-row index (position within `live`) for each main row
+            live_pos = {r: p for p, r in enumerate(live)}
+            slot = np.zeros(nlist, np.int64)
+            for vi, (row, a) in enumerate(zip(main_rows, assign)):
+                s = slot[a]
+                vec_lists[a, s] = vecs[vi]
+                ns_lists[a, s] = self._ns[row]
+                canon_lists[a, s] = self._canon[row]
+                row_lists[a, s] = live_pos[row]
+                slot[a] += 1
+            if self.dtype == "int8":
+                flat = vec_lists.reshape(-1, self.dim)
+                vals, scales = quantize_int8_rows(jnp.asarray(flat))
+                snap["vec_lists"] = jnp.asarray(vals).reshape(nlist, cap, self.dim)
+                snap["scale_lists"] = jnp.asarray(scales).reshape(nlist, cap)
+            else:
+                jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+                snap["vec_lists"] = jnp.asarray(vec_lists, dtype=jdt)
+                snap["scale_lists"] = jnp.asarray(scale_lists)
+            snap["centroids"] = jnp.asarray(centroids)
+            snap["ns_lists"] = jnp.asarray(ns_lists)
+            snap["canon_lists"] = jnp.asarray(canon_lists)
+            snap["row_lists"] = jnp.asarray(row_lists)
+            snap["nlist"] = nlist
+            overflow_mask[np.isin(live, main_rows)] = False
+        else:
+            snap["nlist"] = 0
+
+        # Overflow (recently added) rows searched exactly.
+        ov_rows = live[overflow_mask]
+        snap["ov_rows"] = ov_rows
+        if len(ov_rows):
+            snap["ov_vectors"] = jnp.asarray(self._vectors[ov_rows], jnp.float32)
+            snap["ov_ns"] = jnp.asarray(self._ns[ov_rows])
+            snap["ov_canon"] = jnp.asarray(self._canon[ov_rows])
+        return snap
+
+    # ------------------------------------------------------------- search
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        namespace: str | None = None,
+        canonicality: str | None = None,
+    ) -> SearchResult:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if self.metric == "cosine":
+            queries = _normalize(queries)
+        nq = queries.shape[0]
+
+        want_ns = self.ns_vocab.lookup(namespace)
+        want_canon = self.canon_vocab.lookup(canonicality)
+        if want_ns == -2 or want_canon == -2 or self.count() == 0:
+            empty = [[] for _ in range(nq)]
+            return SearchResult(ids=[list() for _ in range(nq)], similarities=empty,
+                                distances=[list() for _ in range(nq)], rows=[list() for _ in range(nq)],
+                                metadatas=[list() for _ in range(nq)], documents=[list() for _ in range(nq)])
+
+        snap = self.device_snapshot()
+        qj = jnp.asarray(queries)
+        live = snap["rows"]
+
+        cand_sc: list[np.ndarray] = []
+        cand_live: list[np.ndarray] = []
+        if snap["nlist"] > 0:
+            nprobe = min(self.nprobe, snap["nlist"])
+            wants = jnp.array([want_ns, want_canon], jnp.int32)
+            sc, rows = _ivf_probe(
+                qj, snap["centroids"], snap["vec_lists"], snap["scale_lists"],
+                snap["ns_lists"], snap["canon_lists"], snap["row_lists"], wants,
+                nprobe=nprobe, k=min(k, snap["nlist"] * snap["vec_lists"].shape[1]),
+            )
+            cand_sc.append(np.asarray(sc))
+            cand_live.append(np.asarray(rows))
+        if len(snap["ov_rows"]):
+            sc, idx = topk_xla_reference(
+                qj, snap["ov_vectors"], min(k, len(snap["ov_rows"])),
+                ns_tags=snap["ov_ns"], canon_tags=snap["ov_canon"],
+                want_ns=want_ns, want_canon=want_canon,
+            )
+            idx = np.asarray(idx)
+            # map overflow-local index -> live-row position
+            live_pos = {r: p for p, r in enumerate(live)}
+            ov_live = np.array([live_pos[r] for r in snap["ov_rows"]], np.int64)
+            mapped = np.where(idx >= 0, ov_live[np.clip(idx, 0, None)], -1)
+            cand_sc.append(np.asarray(sc))
+            cand_live.append(mapped)
+
+        # Host merge of the (tiny) candidate sets.
+        all_sc = np.concatenate(cand_sc, axis=1)
+        all_rows = np.concatenate(cand_live, axis=1)
+        order = np.argsort(-all_sc, axis=1, kind="stable")[:, :k]
+        merged_sc = np.take_along_axis(all_sc, order, axis=1)
+        merged_rows = np.take_along_axis(all_rows, order, axis=1)
+        return self._to_result(merged_sc, merged_rows.astype(np.int32), snap)

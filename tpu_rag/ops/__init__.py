@@ -1,0 +1,10 @@
+from tpu_rag.ops.topk import fused_matmul_topk, topk_xla_reference, PAD_TAG
+from tpu_rag.ops.quant import quantize_int8_rows, dequantize_int8_rows
+
+__all__ = [
+    "fused_matmul_topk",
+    "topk_xla_reference",
+    "PAD_TAG",
+    "quantize_int8_rows",
+    "dequantize_int8_rows",
+]

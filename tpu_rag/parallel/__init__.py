@@ -1,0 +1,4 @@
+from tpu_rag.parallel.mesh import get_mesh, mesh_from_spec
+from tpu_rag.parallel.sharded import ShardedFlatIndex, make_sharded_search
+
+__all__ = ["get_mesh", "mesh_from_spec", "ShardedFlatIndex", "make_sharded_search"]
