@@ -1,0 +1,150 @@
+"""Encoder tests: tokenizers, determinism, and numerical parity of the Flax
+trunk against torch transformers BertModel (tiny random weights — the parity
+check the reference never had, SURVEY.md §4/§7 step 2)."""
+
+import numpy as np
+import pytest
+
+from tpu_rag.models import BiEncoder, CrossEncoder, HashTokenizer, load_tokenizer
+from tpu_rag.models.bert import BertSpec
+from tpu_rag.models.tokenizer import encode_batch, encode_pair_batch, pretokenize
+
+
+def test_pretokenize_mixed_cjk_latin():
+    toks = pretokenize("Hello, 世界! GPT-4 模型 abc_def")
+    assert "hello" in toks
+    assert "世" in toks and "界" in toks
+    assert "模" in toks and "型" in toks
+    assert "abc_def" in toks
+
+
+def test_hash_tokenizer_deterministic():
+    t1 = HashTokenizer()
+    t2 = HashTokenizer()
+    ids1 = t1.tokenize_ids("the quick 棕色 fox")
+    ids2 = t2.tokenize_ids("the quick 棕色 fox")
+    assert ids1 == ids2
+    assert all(4 <= i < 30522 for i in ids1)
+
+
+def test_wordpiece_tokenizer(tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "quick", "fox", "un", "##able", "##s"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = load_tokenizer(str(vp))
+    assert tok.name == "wordpiece"
+    ids = tok.tokenize_ids("the unable foxs")
+    inv = {i: t for i, t in enumerate(vocab)}
+    assert [inv[i] for i in ids] == ["the", "un", "##able", "fox", "##s"]
+    assert tok.tokenize_ids("zzz") == [tok.unk_id]
+
+
+def test_encode_batch_shapes():
+    tok = HashTokenizer()
+    ids, mask = encode_batch(tok, ["hello world", "a"], 16, batch=8)
+    assert ids.shape == (8, 16) and mask.shape == (8, 16)
+    assert mask[0].sum() == 4  # CLS + 2 tokens + SEP
+    assert mask[2].sum() == 0  # padding row
+
+
+def test_encode_pair_batch_types():
+    tok = HashTokenizer()
+    ids, mask, types = encode_pair_batch(tok, [("a b", "c d e")], 16)
+    assert types[0][mask[0] == 1].tolist() == [0, 0, 0, 0, 1, 1, 1, 1]
+
+
+def test_biencoder_deterministic_and_normalized():
+    enc = BiEncoder(spec=BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128, max_len=64),
+                    seq_len=32, batch=8)
+    e1 = enc.embed(["hello world", "quick brown fox"])
+    e2 = enc.embed(["hello world", "quick brown fox"])
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(e1, axis=1), 1.0, atol=1e-5)
+    assert e1.shape == (2, 64)
+    # same text embeds identically across differently-sized batches
+    e3 = enc.embed(["hello world"] + [f"pad {i}" for i in range(9)])
+    np.testing.assert_allclose(e1[0], e3[0], atol=1e-4)
+
+
+def test_crossencoder_scores():
+    ce = CrossEncoder(spec=BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128, max_len=64),
+                      seq_len=32, batch=8)
+    s = ce.predict([("query", "doc one"), ("query", "doc two")])
+    assert s.shape == (2,)
+    s2 = ce.predict([("query", "doc one"), ("query", "doc two")])
+    np.testing.assert_allclose(s, s2, atol=1e-6)
+
+
+@pytest.mark.parametrize("seq", [16])
+def test_flax_matches_torch_bert(seq):
+    """Numerical parity of the Flax trunk vs transformers BertModel."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax.numpy as jnp
+
+    from tpu_rag.models.bert import BertEncoder
+    from tpu_rag.models.hf_import import map_bert_state_dict
+
+    cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=seq, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    tm = transformers.BertModel(cfg).eval()
+
+    spec = BertSpec(vocab_size=128, hidden=32, layers=2, heads=4, ffn=64, max_len=seq)
+    params = map_bert_state_dict({k: v.numpy() for k, v in tm.state_dict().items()}, spec)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 128, (2, seq)).astype(np.int64)
+    mask = np.ones((2, seq), np.int64)
+    mask[1, seq // 2:] = 0
+    ids[1, seq // 2:] = 0
+
+    with torch.no_grad():
+        ref = tm(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+
+    ours = BertEncoder(spec).apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32))
+    ours = np.asarray(ours)
+    # only compare unmasked positions (masked ones are junk in both)
+    np.testing.assert_allclose(ours[0], ref[0], atol=2e-4)
+    np.testing.assert_allclose(ours[1, : seq // 2], ref[1, : seq // 2], atol=2e-4)
+
+
+def test_cross_encoder_import_parity():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax.numpy as jnp
+
+    from tpu_rag.models.crossencoder import CrossEncoderModule
+    from tpu_rag.models.hf_import import load_cross_encoder_params
+
+    cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=16, hidden_act="gelu", num_labels=1,
+    )
+    torch.manual_seed(1)
+    tm = transformers.BertForSequenceClassification(cfg).eval()
+
+    spec = BertSpec(vocab_size=128, hidden=32, layers=2, heads=4, ffn=64, max_len=16)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        torch.save(tm.state_dict(), os.path.join(td, "pytorch_model.bin"))
+        params = load_cross_encoder_params(td, spec)
+    assert params is not None
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 128, (2, 16)).astype(np.int64)
+    mask = np.ones((2, 16), np.int64)
+    types = np.zeros((2, 16), np.int64)
+    with torch.no_grad():
+        ref = tm(input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+                 token_type_ids=torch.tensor(types)).logits.numpy()[:, 0]
+
+    ours = CrossEncoderModule(spec).apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32), jnp.asarray(types, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)

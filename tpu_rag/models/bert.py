@@ -1,0 +1,89 @@
+"""Flax BERT-family transformer trunk (MiniLM / bge compatible).
+
+TPU-native replacement for the torch sentence-transformers forward pass the
+reference runs on CPU (reference api/app.py:90 for the bi-encoder,
+api/app.py:95-104 for the cross-encoder).  Post-LayerNorm BERT so pretrained
+HuggingFace MiniLM/bge weights map 1:1 (tpu_rag/models/hf_import.py).
+
+Compute dtype is bf16 on TPU (MXU-native); params stay f32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class BertSpec:
+    vocab_size: int = 30522
+    hidden: int = 384
+    layers: int = 6
+    heads: int = 12
+    ffn: int = 1536
+    max_len: int = 512
+    type_vocab: int = 2
+    ln_eps: float = 1e-12
+
+
+class BertLayer(nn.Module):
+    spec: BertSpec
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask):
+        s = self.spec
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=s.heads,
+            qkv_features=s.hidden,
+            out_features=s.hidden,
+            dtype=self.dtype,
+            name="attention",
+        )(x, x, mask=attn_mask)
+        x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="attention_ln")(x + attn)
+        h = nn.Dense(s.ffn, dtype=self.dtype, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(s.hidden, dtype=self.dtype, name="output")(h)
+        x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="output_ln")(x + h)
+        return x
+
+
+class BertEncoder(nn.Module):
+    """Returns final hidden states (B, T, H). Pooling lives in the heads."""
+
+    spec: BertSpec
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids, mask, type_ids=None):
+        s = self.spec
+        b, t = ids.shape
+        if type_ids is None:
+            type_ids = jnp.zeros_like(ids)
+        word = nn.Embed(s.vocab_size, s.hidden, dtype=self.dtype, name="word_embeddings")(ids)
+        pos_ids = jnp.arange(t, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(s.max_len, s.hidden, dtype=self.dtype, name="position_embeddings")(pos_ids)
+        typ = nn.Embed(s.type_vocab, s.hidden, dtype=self.dtype, name="token_type_embeddings")(type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="embeddings_ln")(x)
+
+        # (B, 1, T, T) additive-free boolean attention mask
+        attn_mask = (mask[:, None, None, :] > 0) & (mask[:, None, :, None] > 0)
+        for i in range(s.layers):
+            x = BertLayer(s, dtype=self.dtype, name=f"layer_{i}")(x, attn_mask)
+        return x
+
+
+def mean_pool(hidden, mask):
+    """Masked mean pooling over tokens (sentence-transformers style)."""
+    m = mask[:, :, None].astype(hidden.dtype)
+    summed = jnp.sum(hidden * m, axis=1)
+    counts = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return summed / counts
+
+
+def l2_normalize(x, eps: float = 1e-12):
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(norm, eps)

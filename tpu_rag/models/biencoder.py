@@ -1,0 +1,127 @@
+"""Bi-encoder: batched text -> normalized embedding vectors on TPU.
+
+Replaces the reference's SentenceTransformerEmbeddingFunction (MiniLM-L6-v2
+on torch CPU, reference api/config.py:15 + api/app.py:90).  The forward pass
+is jitted per (batch, seq) bucket; batches are padded to fixed shapes so one
+compilation serves the whole ingest/query lifetime.
+
+Weights: imported from a local HuggingFace checkpoint when configured
+(hf_import.py); otherwise deterministically seeded from the model name so
+index-time and query-time embeddings always agree (the retrieval contract
+only needs self-consistency, and this image has no pretrained weights).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rag.models.bert import BertEncoder, BertSpec, l2_normalize, mean_pool
+from tpu_rag.models.tokenizer import encode_batch, load_tokenizer
+
+MODEL_SPECS: dict[str, BertSpec] = {
+    # parity default: all-MiniLM-L6-v2 (384-d — reference api/config.py:15)
+    "minilm-l6": BertSpec(hidden=384, layers=6, heads=12, ffn=1536),
+    "minilm-l12": BertSpec(hidden=384, layers=12, heads=12, ffn=1536),
+    # BASELINE.json config #3: bge-base 768-d
+    "bge-base": BertSpec(hidden=768, layers=12, heads=12, ffn=3072),
+    "bge-small": BertSpec(hidden=384, layers=12, heads=12, ffn=1536),
+    "tiny": BertSpec(vocab_size=1024, hidden=64, layers=2, heads=4, ffn=128, max_len=128),
+}
+
+
+def spec_for_model(name: str) -> BertSpec:
+    low = name.lower()
+    for key, spec in MODEL_SPECS.items():
+        if key in low:
+            return spec
+    if "bge-base" in low or "768" in low:
+        return MODEL_SPECS["bge-base"]
+    return MODEL_SPECS["minilm-l6"]
+
+
+def _seed_from_name(name: str) -> int:
+    return int.from_bytes(hashlib.blake2b(name.encode(), digest_size=4).digest(), "little")
+
+
+class BiEncoder:
+    def __init__(
+        self,
+        model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+        *,
+        weights_path: str = "",
+        tokenizer_path: str = "",
+        seq_len: int = 256,
+        batch: int = 64,
+        dtype: str = "bfloat16",
+        spec: BertSpec | None = None,
+    ) -> None:
+        self.model_name = model_name
+        self.spec = spec or spec_for_model(model_name)
+        self.seq_len = seq_len
+        self.batch = batch
+        self.compute_dtype = jnp.bfloat16 if (dtype == "bfloat16" and jax.default_backend() == "tpu") else jnp.float32
+        self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.spec.vocab_size)
+        self.module = BertEncoder(self.spec, dtype=self.compute_dtype)
+        self.params = self._init_params(weights_path)
+        self._jit_cache: dict[tuple[int, int], any] = {}
+
+    @property
+    def dim(self) -> int:
+        return self.spec.hidden
+
+    def _init_params(self, weights_path: str):
+        if weights_path:
+            from tpu_rag.models.hf_import import load_bert_params
+            params = load_bert_params(weights_path, self.spec)
+            if params is not None:
+                return params
+        rng = jax.random.PRNGKey(_seed_from_name(self.model_name))
+        ids = jnp.zeros((1, 8), jnp.int32)
+        mask = jnp.ones((1, 8), jnp.int32)
+        return self.module.init(rng, ids, mask)["params"]
+
+    def _forward_fn(self, b: int, t: int):
+        fn = self._jit_cache.get((b, t))
+        if fn is None:
+            module = self.module
+
+            @jax.jit
+            def fwd(params, ids, mask):
+                hidden = module.apply({"params": params}, ids, mask)
+                pooled = mean_pool(hidden, mask)
+                return l2_normalize(pooled.astype(jnp.float32))
+
+            fn = fwd
+            self._jit_cache[(b, t)] = fn
+        return fn
+
+    def _bucket(self, n: int) -> int:
+        for b in (8, 16, 32):
+            if n <= b <= self.batch:
+                return b
+        return self.batch
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        """Batched embed: returns (len(texts), dim) float32, L2-normalized."""
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        out = np.zeros((len(texts), self.dim), np.float32)
+        i = 0
+        while i < len(texts):
+            chunk = texts[i : i + self.batch]
+            b = self._bucket(len(chunk))
+            ids, mask = encode_batch(self.tokenizer, chunk, self.seq_len, batch=b)
+            fn = self._forward_fn(b, self.seq_len)
+            emb = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            out[i : i + len(chunk)] = np.asarray(emb)[: len(chunk)]
+            i += len(chunk)
+        return out
+
+    def embed_one(self, text: str) -> np.ndarray:
+        return self.embed([text])[0]
