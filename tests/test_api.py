@@ -1,0 +1,332 @@
+"""HTTP API tests: full route surface with a fake encoder + real index/stores.
+
+Pattern borrowed from the reference's tests (fake vector backend + HTTP test
+client — reference tests/test_kb_crud.py) but without monkeypatching module
+globals: the engine takes injected components.
+"""
+
+import hashlib
+import json
+
+import numpy as np
+import pytest
+
+from tpu_rag.api.app import create_app
+from tpu_rag.api.testclient import TestClient
+from tpu_rag.config import Config
+from tpu_rag.engine import RagEngine
+from tpu_rag.llm.base import LLMBackend
+
+DIM = 32
+
+
+class FakeEncoder:
+    """Deterministic hash embeddings — no model, instant."""
+
+    dim = DIM
+
+    def embed(self, texts):
+        out = np.zeros((len(texts), DIM), np.float32)
+        for i, t in enumerate(texts):
+            for tok in t.lower().split():
+                h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=4).digest(), "little")
+                out[i, h % DIM] += 1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-9)
+
+
+class FakeCrossEncoder:
+    def predict(self, pairs):
+        # score = token overlap
+        scores = []
+        for q, t in pairs:
+            qs, ts = set(q.lower().split()), set(t.lower().split())
+            scores.append(float(len(qs & ts)))
+        return np.array(scores, np.float32)
+
+
+class ScriptedBackend(LLMBackend):
+    """Emits a scripted token stream (with <think> spans) for SSE tests."""
+
+    name = "scripted"
+
+    def __init__(self, tokens=None, text="scripted answer"):
+        self.tokens = tokens
+        self.text = text
+
+    def complete(self, messages, **kw):
+        return self.text
+
+    def stream(self, messages, **kw):
+        for t in self.tokens or [self.text]:
+            yield t
+
+
+class ScriptedDispatcher:
+    def __init__(self, backend):
+        self.backend = backend
+
+    def generate(self, messages, *, stream=False, engine=None, **kw):
+        kw.pop("temperature", None)
+        if stream:
+            return self.backend.stream(messages), self.backend.name
+        return self.backend.complete(messages), self.backend.name
+
+
+@pytest.fixture()
+def env(tmp_path):
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"),
+        kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs"),
+        index_dtype="float32",
+        use_pallas=False,
+        summarize_mode="off",
+    )
+    engine = RagEngine(cfg, encoder=FakeEncoder(), cross_encoder=FakeCrossEncoder(),
+                       dispatcher=ScriptedDispatcher(ScriptedBackend()))
+    app = create_app(engine=engine)
+    return app, engine, TestClient(app)
+
+
+def test_health_and_config(env):
+    app, engine, client = env
+    r = client.get("/health")
+    assert r.status_code == 200
+    data = r.json()
+    assert data["status"] == "ok"
+    assert data["docs_count"] == 0
+    assert data["index"]["kind"] == "flat"
+    r = client.get("/config")
+    assert r.json()["readonly_mode"] is False
+
+
+def test_root_redirect(env):
+    _, _, client = env
+    r = client.get("/")
+    assert r.status_code == 307
+    assert r.headers["location"] == "/app/"
+
+
+def test_docs_crud_lifecycle(env, tmp_path):
+    app, engine, client = env
+    # save
+    r = client.post("/docs/save", json={"title": "Dragon Lore",
+                                        "content": "dragons breathe fire in the mountains",
+                                        "metadata": {"namespace": "lore"}})
+    assert r.status_code == 200
+    body = r.json()
+    doc_id = body["id"]
+    assert body["ok"] and doc_id.startswith("doc-")
+    assert (tmp_path / "docs" / body["file"]).is_file()
+
+    # background indexing happened -> vector search finds it
+    assert engine.index.count() == 1
+    r = client.post("/search", json={"query": "dragons fire", "k": 3})
+    hits = r.json()["hits"]
+    assert hits and hits[0]["id"] == doc_id
+    assert r.json()["source"] == "chroma+db"
+
+    # get
+    r = client.get(f"/docs/{doc_id}")
+    assert r.status_code == 200
+    assert r.json()["title"] == "Dragon Lore"
+
+    # list
+    r = client.get("/docs/list")
+    assert any(d["id"] == doc_id for d in r.json()["docs"])
+
+    # put (update)
+    r = client.put(f"/docs/{doc_id}", json={"title": "Dragon Lore",
+                                            "content": "dragons sleep on gold hoards",
+                                            "metadata": {"namespace": "lore"}})
+    assert r.status_code == 200
+    r = client.get(f"/docs/{doc_id}")
+    assert "gold" in r.json()["content"]
+
+    # delete
+    r = client.delete(f"/docs/{doc_id}")
+    assert r.json()["ok"]
+    assert client.get(f"/docs/{doc_id}").status_code == 404
+    assert engine.index.count() == 0
+
+    # 404s
+    assert client.get("/docs/nope").status_code == 404
+    assert client.delete("/docs/nope").status_code == 404
+    assert client.put("/docs/nope", json={"title": "x", "content": "y"}).status_code == 404
+
+
+def test_docs_save_validation_error(env):
+    _, _, client = env
+    r = client.post("/docs/save", json={"title": "missing content"})
+    assert r.status_code == 422
+
+
+def test_dedup_skips_identical_content(env):
+    app, engine, client = env
+    payload = {"title": "Same", "content": "identical text body", "metadata": {}}
+    client.post("/docs/save", json=payload)
+    client.post("/docs/save", json={**payload, "title": "Same2"})
+    # second save has identical content -> hash dedup skips reindexing
+    assert engine.index.count() == 1
+
+
+def test_source_key_versioning(env):
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "Hero Bio", "content": "version one"})
+    client.post("/docs/save", json={"title": "Hero Bio", "content": "version two"})
+    assert engine.index.count() == 1  # old version replaced via source_key
+    r = client.post("/search", json={"query": "version", "k": 2})
+    texts = [h["text"] for h in r.json()["hits"]]
+    assert texts == ["version two"]
+
+
+def test_kb_upsert_and_search(env):
+    _, _, client = env
+    r = client.post("/kb/upsert", json={"source": "wiki", "ref_id": "1",
+                                        "title": "Elf City", "content": "elves live in the forest city"})
+    assert r.json()["ok"]
+    r = client.post("/kb/search", json={"query": "forest", "k": 5})
+    hits = r.json()["hits"]
+    assert hits and hits[0]["id"] == "db:wiki:1"
+    assert hits[0]["metadata"]["source"] == "wiki"
+    # missing field -> 400
+    assert client.post("/kb/upsert", json={"source": "w"}).status_code == 400
+    assert client.post("/kb/search", json={}).status_code == 400
+
+
+def test_search_rerank_and_highlight(env):
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "A", "content": "the dragon guards treasure"})
+    client.post("/docs/save", json={"title": "B", "content": "a knight rides north. the dragon sleeps."})
+    r = client.post("/search", json={"query": "dragon", "k": 5,
+                                     "rerank": True, "highlight": True})
+    out = r.json()
+    assert out["reranked"] is True
+    assert all("rerank_score" in h for h in out["hits"])
+    assert any(h.get("highlights") for h in out["hits"])
+    assert "timings_ms" in out
+
+
+def test_search_meta_filter(env):
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "Real Lore", "content": "unique dragontale content"})
+    client.post("/docs/save", json={"title": "Schema Notes", "content": "unique dragontale content extra",
+                                    "metadata": {"namespace": "meta"}})
+    r = client.post("/search", json={"query": "dragontale", "k": 5})
+    ids = [h["id"] for h in r.json()["hits"]]
+    titles = [h["metadata"].get("title") for h in r.json()["hits"]]
+    assert "Schema Notes" not in titles
+    # canonicality=meta disables the filter
+    r = client.post("/search", json={"query": "dragontale", "k": 5, "canonicality": "meta"})
+    # meta-namespaced doc has no canonicality tag, so vector filter yields none;
+    # but the filter must not drop meta hits in this mode
+    assert r.status_code == 200
+
+
+def test_compose_blocking(env):
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "Moon Temple",
+                                    "content": "the moon temple stands on the silver cliff"})
+    r = client.post("/compose", json={"query": "moon temple", "k": 3,
+                                      "language": "en", "thread_id": "t1"})
+    out = r.json()
+    assert out["draft"] == "scripted answer"
+    assert out["engine"] == "scripted"
+    assert out["thread_id"] == "t1"
+    assert out["language"] == "en"
+    assert isinstance(out["citations"], list) and out["citations"]
+    assert set(out["citations"][0]) == {"id", "file_path", "section"}
+    # conversation was persisted
+    msgs = client.get("/threads/t1/messages").json()["messages"]
+    assert [m["role"] for m in msgs] == ["user", "assistant"]
+    threads = client.get("/threads").json()["threads"]
+    assert threads[0]["thread_id"] == "t1" and threads[0]["count"] == 2
+
+
+def test_compose_no_hits_note(env):
+    _, _, client = env
+    r = client.post("/compose", json={"query": "zzzz unknown", "k": 3})
+    out = r.json()
+    assert out["draft"] == "" and "note" in out
+
+
+def test_compose_stream_sse_with_think(env, tmp_path):
+    app, engine, client = env
+    engine.dispatcher = ScriptedDispatcher(ScriptedBackend(
+        tokens=["<th", "ink>I reason", " secretly</думать".replace("думать", "think") + ">", "Visible ", "answer"]))
+    client.post("/docs/save", json={"title": "Star Map", "content": "stars map the northern sky"})
+    r = client.post("/compose_stream", json={"query": "stars map", "k": 3,
+                                             "language": "en", "thread_id": "s1"})
+    frames = "".join(r.iter_stream())
+    events = []
+    for block in frames.split("\n\n"):
+        if block.startswith("data: "):
+            events.append(json.loads(block[6:]))
+        elif block.startswith("event: done"):
+            events.append({"done": True})
+    reasoning = "".join(e["data"] for e in events if e.get("type") == "reasoning")
+    text = "".join(e["data"] for e in events if e.get("type") == "text")
+    assert reasoning == "I reason secretly"
+    assert text == "Visible answer"
+    tail = [e for e in events if "citations" in e]
+    assert tail and tail[0]["thread_id"] == "s1"
+    assert events[-1] == {"done": True}
+    # assistant message persisted without reasoning
+    msgs = client.get("/threads/s1/messages").json()["messages"]
+    assert msgs[-1]["content"] == "Visible answer"
+
+
+def test_compose_stream_selected_ids(env):
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "One", "content": "alpha beta"})
+    client.post("/docs/save", json={"title": "Two", "content": "alpha gamma"})
+    r = client.post("/compose_stream", json={"query": "alpha", "k": 5,
+                                             "selected_ids": ["nonexistent-id"]})
+    frames = "".join(r.iter_stream())
+    tail = [json.loads(b[6:]) for b in frames.split("\n\n")
+            if b.startswith("data: ") and "citations" in b]
+    assert tail and tail[0]["citations"] == []
+
+
+def test_auth_enforced(tmp_path):
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"),
+        kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs"),
+        api_key="sekrit",
+        index_dtype="float32",
+        use_pallas=False,
+    )
+    engine = RagEngine(cfg, encoder=FakeEncoder(),
+                       dispatcher=ScriptedDispatcher(ScriptedBackend()))
+    app = create_app(engine=engine)
+    client = TestClient(app)
+    assert client.get("/health").status_code == 401
+    assert client.get("/health", headers={"x-api-key": "wrong"}).status_code == 401
+    assert client.get("/health", headers={"x-api-key": "sekrit"}).status_code == 200
+    # root redirect stays public
+    assert client.get("/").status_code == 307
+
+
+def test_readonly_mode_enforced(tmp_path):
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"),
+        kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs"),
+        readonly_mode=True,
+        index_dtype="float32",
+        use_pallas=False,
+    )
+    engine = RagEngine(cfg, encoder=FakeEncoder(),
+                       dispatcher=ScriptedDispatcher(ScriptedBackend()))
+    client = TestClient(create_app(engine=engine))
+    r = client.post("/docs/save", json={"title": "x", "content": "y"})
+    assert r.status_code == 403
+    assert client.post("/kb/upsert", json={"source": "s", "ref_id": "1",
+                                           "title": "t", "content": "c"}).status_code == 403
+    # reads still work
+    assert client.get("/docs/list").status_code == 200

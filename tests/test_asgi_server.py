@@ -1,0 +1,113 @@
+"""ASGI layer + first-party HTTP server tests: real sockets, streaming,
+keep-alive, CORS — the serving runtime the reference delegated to
+uvicorn/FastAPI."""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import pytest
+
+from tpu_rag.api.asgi import App, Response
+from tpu_rag.api.server import HTTPServer
+
+
+def make_app():
+    app = App()
+
+    @app.get("/ping", public=True)
+    def ping():
+        return {"pong": True}
+
+    @app.post("/echo", public=True)
+    def echo(body: dict):
+        return {"got": body}
+
+    @app.get("/stream", public=True)
+    def stream():
+        def gen():
+            for i in range(3):
+                yield f"data: {i}\n\n"
+        return Response(stream=gen(), media_type="text/event-stream")
+
+    @app.get("/items/{item_id}", public=True)
+    def item(item_id: str):
+        return {"id": item_id}
+
+    return app
+
+
+@pytest.fixture(scope="module")
+def server():
+    app = make_app()
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    srv = HTTPServer(app, "127.0.0.1", port)
+    thread = threading.Thread(target=srv.run, daemon=True)
+    thread.start()
+    # wait for the port to accept
+    for _ in range(100):
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=0.2)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    yield f"http://127.0.0.1:{port}"
+
+
+def test_get_over_socket(server):
+    import requests
+
+    r = requests.get(f"{server}/ping")
+    assert r.status_code == 200
+    assert r.json() == {"pong": True}
+    assert r.headers["access-control-allow-origin"] == "*"
+
+
+def test_post_json_and_path_params(server):
+    import requests
+
+    r = requests.post(f"{server}/echo", json={"a": 1, "字": "值"})
+    assert r.json() == {"got": {"a": 1, "字": "值"}}
+    r = requests.get(f"{server}/items/abc%20def")
+    assert r.json() == {"id": "abc def"}
+
+
+def test_404_and_keepalive(server):
+    import requests
+
+    s = requests.Session()
+    assert s.get(f"{server}/nope").status_code == 404
+    assert s.get(f"{server}/ping").status_code == 200  # same connection reused
+
+
+def test_streaming_chunked(server):
+    import requests
+
+    with requests.get(f"{server}/stream", stream=True) as r:
+        assert r.status_code == 200
+        body = b"".join(r.iter_content(64))
+    assert body.decode() == "data: 0\n\ndata: 1\n\ndata: 2\n\n"
+    assert r.headers.get("transfer-encoding") == "chunked"
+
+
+@pytest.mark.anyio
+async def test_asgi_transport_httpx():
+    httpx = pytest.importorskip("httpx")
+    app = make_app()
+    transport = httpx.ASGITransport(app=app)
+    async with httpx.AsyncClient(transport=transport, base_url="http://test") as client:
+        r = await client.get("/ping")
+        assert r.json() == {"pong": True}
+        r = await client.post("/echo", json={"x": 2})
+        assert r.json() == {"got": {"x": 2}}
+
+
+@pytest.fixture
+def anyio_backend():
+    return "asyncio"

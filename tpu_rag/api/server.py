@@ -1,0 +1,178 @@
+"""First-party asyncio HTTP/1.1 server hosting an ASGI app.
+
+Replaces uvicorn in the reference deployment (reference Dockerfile:34,
+run.txt:4).  Supports: request bodies via Content-Length, keep-alive,
+chunked transfer encoding for streaming responses (SSE), graceful handling
+of client disconnects.  Intentionally minimal — no TLS, no HTTP/2; put a
+proxy in front for those.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from urllib.parse import unquote, urlsplit
+
+logger = logging.getLogger(__name__)
+
+MAX_HEADER_BYTES = 64 * 1024
+MAX_BODY_BYTES = 64 * 1024 * 1024
+
+REASONS = {
+    200: "OK", 302: "Found", 307: "Temporary Redirect", 400: "Bad Request",
+    401: "Unauthorized", 403: "Forbidden", 404: "Not Found",
+    422: "Unprocessable Entity", 500: "Internal Server Error",
+}
+
+
+class HTTPServer:
+    def __init__(self, app, host: str = "0.0.0.0", port: int = 8000) -> None:
+        self.app = app
+        self.host = host
+        self.port = port
+        self._server: asyncio.AbstractServer | None = None
+
+    async def _handle_connection(self, reader: asyncio.StreamReader,
+                                 writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                keep_alive = await self._handle_one(reader, writer)
+                if not keep_alive:
+                    break
+        except (ConnectionResetError, BrokenPipeError, asyncio.IncompleteReadError):
+            pass
+        except Exception as e:
+            logger.warning("connection error: %s", e)
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _handle_one(self, reader, writer) -> bool:
+        try:
+            head = await reader.readuntil(b"\r\n\r\n")
+        except asyncio.IncompleteReadError:
+            return False
+        except asyncio.LimitOverrunError:
+            return False
+        if len(head) > MAX_HEADER_BYTES:
+            return False
+        lines = head.decode("latin-1").split("\r\n")
+        request_line = lines[0]
+        parts = request_line.split(" ")
+        if len(parts) != 3:
+            return False
+        method, target, version = parts
+        headers: list[tuple[bytes, bytes]] = []
+        hmap: dict[str, str] = {}
+        for line in lines[1:]:
+            if not line or ":" not in line:
+                continue
+            k, _, v = line.partition(":")
+            k = k.strip().lower()
+            v = v.strip()
+            headers.append((k.encode("latin-1"), v.encode("latin-1")))
+            hmap[k] = v
+
+        length = int(hmap.get("content-length", "0") or 0)
+        if length > MAX_BODY_BYTES:
+            return False
+        body = await reader.readexactly(length) if length else b""
+
+        split = urlsplit(target)
+        path = unquote(split.path)
+        scope = {
+            "type": "http",
+            "asgi": {"version": "3.0"},
+            "http_version": version.split("/")[-1],
+            "method": method.upper(),
+            "path": path,
+            "raw_path": split.path.encode("latin-1"),
+            "query_string": split.query.encode("latin-1"),
+            "headers": headers,
+            "client": writer.get_extra_info("peername"),
+            "server": (self.host, self.port),
+            "scheme": "http",
+        }
+
+        received = False
+
+        async def receive():
+            nonlocal received
+            if received:
+                await asyncio.sleep(3600)
+                return {"type": "http.disconnect"}
+            received = True
+            return {"type": "http.request", "body": body, "more_body": False}
+
+        state = {"started": False, "chunked": False}
+
+        async def send(message):
+            if message["type"] == "http.response.start":
+                status = message["status"]
+                out_headers = list(message.get("headers", []))
+                names = {k.lower() for k, _ in out_headers}
+                has_len = b"content-length" in names
+                # Streamed responses (no content-length) use chunked encoding.
+                if not has_len:
+                    state["chunked"] = True
+                    out_headers.append((b"transfer-encoding", b"chunked"))
+                out_headers.append((b"connection", b"keep-alive"))
+                head_lines = [f"HTTP/1.1 {status} {REASONS.get(status, 'OK')}".encode("latin-1")]
+                for k, v in out_headers:
+                    head_lines.append(k + b": " + v)
+                writer.write(b"\r\n".join(head_lines) + b"\r\n\r\n")
+                state["started"] = True
+                await writer.drain()
+            elif message["type"] == "http.response.body":
+                data = message.get("body", b"")
+                if state["chunked"]:
+                    if data:
+                        writer.write(f"{len(data):x}\r\n".encode("latin-1") + data + b"\r\n")
+                    if not message.get("more_body"):
+                        writer.write(b"0\r\n\r\n")
+                else:
+                    writer.write(data)
+                await writer.drain()
+
+        # ASGI apps normally set content-length themselves; ours doesn't, so
+        # wrap send to inject it for non-streaming responses.
+        buffered: dict = {}
+
+        async def send_with_length(message):
+            if message["type"] == "http.response.start":
+                buffered["start"] = message
+                return
+            if "start" in buffered:
+                start = buffered.pop("start")
+                if not message.get("more_body"):
+                    start["headers"] = list(start.get("headers", [])) + [
+                        (b"content-length", str(len(message.get("body", b""))).encode())
+                    ]
+                await send(start)
+            await send(message)
+
+        await self.app(scope, receive, send_with_length)
+        return hmap.get("connection", "").lower() != "close"
+
+    async def serve(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle_connection, self.host, self.port,
+            limit=MAX_HEADER_BYTES,
+        )
+        addrs = ", ".join(str(s.getsockname()) for s in self._server.sockets)
+        logger.info("serving on %s", addrs)
+        async with self._server:
+            await self._server.serve_forever()
+
+    def run(self) -> None:
+        try:
+            asyncio.run(self.serve())
+        except KeyboardInterrupt:
+            pass
+
+
+def run_app(app, host: str = "0.0.0.0", port: int = 8000) -> None:
+    HTTPServer(app, host, port).run()

@@ -69,6 +69,9 @@ class Config:
     mesh_shape: str = ""                # e.g. "data:4" or "data:4,model:2"; "" = all devices on data
     use_pallas: bool = True             # False = pure-XLA fallback path
 
+    # --- compose ---
+    summarize_mode: str = "llm"         # "llm" (reference parity) | "off" (skip per-chunk LLM calls)
+
     # --- serving ---
     host: str = "0.0.0.0"
     port: int = 8000
@@ -132,6 +135,7 @@ def config_from_env(dotenv: str | None = None) -> Config:
         embed_seq_len=env_int("EMBED_SEQ_LEN", d.embed_seq_len),
         mesh_shape=env_str("MESH_SHAPE", d.mesh_shape),
         use_pallas=env_bool("USE_PALLAS", d.use_pallas),
+        summarize_mode=env_str("SUMMARIZE_MODE", d.summarize_mode),
         host=env_str("HOST", d.host),
         port=env_int("PORT", d.port),
         debug_prompts=env_bool("DEBUG_PROMPTS", d.debug_prompts),

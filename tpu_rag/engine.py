@@ -1,0 +1,203 @@
+"""RagEngine: the composition root.
+
+Owns the TPU encoder + vector index + SQLite stores + LLM dispatcher and
+implements the retrieval/compose flows the HTTP routes call.  This replaces
+the reference's import-time module globals and circular router imports
+(reference api/app.py:86-121 + SURVEY.md §1 "circular-import quirk") with an
+explicit, injectable object — routes receive the engine, tests construct one
+with fakes.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from pathlib import Path
+
+from tpu_rag.config import Config
+from tpu_rag.compose.history import format_history_block, update_thread_summary
+from tpu_rag.compose.language import norm_lang
+from tpu_rag.compose.prompts import prepare_messages
+from tpu_rag.compose.summarize import Summarizer
+from tpu_rag.index import FlatIndex, IVFIndex, load_index, save_index
+from tpu_rag.index.store import MANIFEST
+from tpu_rag.ingest.indexer import DocIndexer
+from tpu_rag.llm import LLMDispatcher
+from tpu_rag.memory.db import ConversationDB
+from tpu_rag.retrieval.hybrid import filter_meta_hits, mix_with_recency, vector_hits
+from tpu_rag.retrieval.rerank import rerank_hits
+from tpu_rag.utils.timing import StageTimings
+
+logger = logging.getLogger(__name__)
+
+
+class RagEngine:
+    def __init__(self, config: Config | None = None, *,
+                 encoder=None, cross_encoder=None, index=None,
+                 dispatcher=None) -> None:
+        self.config = config or Config()
+        self.config.ensure_dirs()
+
+        self._encoder = encoder
+        self._cross_encoder = cross_encoder
+        self._ce_lock = threading.Lock()
+        self._ce_failed = False
+
+        self.db = ConversationDB(self.config.db_path)
+        self.dispatcher = dispatcher or LLMDispatcher(self.config)
+        self.summarizer = Summarizer(
+            self.generate,
+            default_language=self.config.default_language,
+            mode=self.config.summarize_mode,
+        )
+
+        self.index = index if index is not None else self._load_or_create_index()
+        self._index_lock = threading.Lock()
+        self.indexer = DocIndexer(
+            self.config.kb_db_path,
+            embed_fn=self.embed,
+            index=self.index,
+            persist_fn=self.persist_index,
+        )
+
+    # ------------------------------------------------------------ components
+
+    @property
+    def encoder(self):
+        if self._encoder is None:
+            from tpu_rag.models import BiEncoder
+            cfg = self.config
+            self._encoder = BiEncoder(
+                cfg.embedding_model,
+                weights_path=cfg.embedding_weights,
+                tokenizer_path=cfg.tokenizer_path,
+                seq_len=cfg.embed_seq_len,
+                batch=cfg.embed_batch,
+            )
+        return self._encoder
+
+    def get_cross_encoder(self):
+        """Lazy, lock-guarded, failure-tolerant (reference api/app.py:95-104
+        minus the race: the reference's singleton had no lock)."""
+        if self._ce_failed:
+            return None
+        if self._cross_encoder is None:
+            with self._ce_lock:
+                if self._cross_encoder is None and not self._ce_failed:
+                    try:
+                        from tpu_rag.models import CrossEncoder
+                        cfg = self.config
+                        self._cross_encoder = CrossEncoder(
+                            cfg.rerank_model,
+                            weights_path=cfg.rerank_weights,
+                            tokenizer_path=cfg.tokenizer_path,
+                        )
+                    except Exception as e:
+                        logger.warning("CrossEncoder init failed: %s", e)
+                        self._ce_failed = True
+        return self._cross_encoder
+
+    def embed(self, texts: list[str]):
+        return self.encoder.embed(texts)
+
+    def generate(self, messages, *, stream: bool = False, engine: str | None = None, **kw):
+        return self.dispatcher.generate(messages, stream=stream, engine=engine, **kw)
+
+    # ------------------------------------------------------------ index io
+
+    def _index_path(self) -> Path:
+        return Path(self.config.persist_dir) / self.config.collection_name
+
+    def _load_or_create_index(self):
+        p = self._index_path()
+        if (p / MANIFEST).is_file():
+            try:
+                return load_index(p, use_pallas=self.config.use_pallas,
+                                  block_n=self.config.block_n)
+            except Exception as e:
+                logger.warning("index load failed (%s); creating empty", e)
+        cfg = self.config
+        kw = dict(dtype=cfg.index_dtype, use_pallas=cfg.use_pallas, block_n=cfg.block_n)
+        if cfg.index_kind == "ivf":
+            return IVFIndex(self.encoder.dim, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, **kw)
+        return FlatIndex(self.encoder.dim, **kw)
+
+    def persist_index(self) -> None:
+        with self._index_lock:
+            save_index(self.index, self._index_path())
+
+    # ------------------------------------------------------------ retrieval
+
+    def query_vector(self, query: str, k: int, namespace: str | None,
+                     canonicality: str | None, timings: StageTimings | None = None) -> list[dict]:
+        """Embed + index search shaped like the reference's _query_chroma
+        (reference api/app.py:539-566); failures degrade to empty hits."""
+        t = timings or StageTimings()
+        try:
+            with t.stage("embed"):
+                qv = self.embed([query])
+            with t.stage("vector_search"):
+                return vector_hits(self.index, qv, k, namespace, canonicality)
+        except Exception as e:
+            logger.warning("vector query failed: %s", e)
+            return []
+
+    def search_internal(self, query: str, k: int, namespace: str | None,
+                        canonicality: str | None, rerank: bool) -> list[dict]:
+        """Hybrid merge, parity with reference api/app.py:585-598: vector
+        top-k + FTS top-(k//2), meta-filter both (skipped when canonicality
+        == 'meta'), vector hits first, truncate to k.  Note the reference
+        ignores the `rerank` arg here — preserved."""
+        doc_hits = self.query_vector(query, k, namespace, canonicality)
+        try:
+            db_hits = self.db.search_kb_fts(query, limit=max(1, (k or 6) // 2))
+        except Exception as e:
+            logger.warning("kb fts failed: %s", e)
+            db_hits = []
+        do_filter = self.config.filter_meta_default and not (
+            (canonicality or "").strip().lower() == "meta"
+        )
+        doc_hits = filter_meta_hits(doc_hits or [], do_filter, self.config.meta_tags)
+        db_hits = filter_meta_hits(db_hits or [], do_filter, self.config.meta_tags)
+        return (doc_hits + db_hits)[: max(k, 1)]
+
+    def rerank(self, query: str, hits: list[dict]) -> list[dict]:
+        return rerank_hits(self.get_cross_encoder(), query, hits)
+
+    def recency_mix(self, hits: list[dict]) -> list[dict]:
+        return mix_with_recency(hits, alpha=self.config.recency_alpha,
+                                half_life_days=self.config.half_life_days)
+
+    # ------------------------------------------------------------ compose
+
+    def build_compose_context(self, hits: list[dict], thread_id: str,
+                              lang: str | None) -> tuple[str, int]:
+        """history block + summarized RAG context (reference
+        api/routes/chat.py:135-141 combined_ctx assembly)."""
+        history_block = format_history_block(self.db, self.summarizer, thread_id, lang)
+        rag_context, used_hits = self.summarizer.build_context(
+            hits, language=lang, max_chars=self.config.max_context_chars,
+            max_chars_per_chunk=600,
+        )
+        combined = (
+            f"<<<HISTORY_START>>>\n{history_block}\n<<<HISTORY_END>>>\n\n"
+            if history_block else ""
+        ) + rag_context
+        return combined, used_hits
+
+    def prepare_messages(self, query: str, context: str, mode: str,
+                         language: str | None, target_length: str | None = None,
+                         style: dict | None = None):
+        return prepare_messages(query, context, mode, language,
+                                target_length=target_length, style=style,
+                                default_language=self.config.default_language)
+
+    def norm_lang(self, lang: str | None) -> str:
+        return norm_lang(lang, self.config.default_language)
+
+    def update_summary(self, thread_id: str, query: str, draft: str, lang: str | None) -> None:
+        update_thread_summary(self.db, self.summarizer, thread_id, query, draft, lang)
+
+    def new_thread_id(self) -> str:
+        return f"auto-{int(time.time() * 1000)}"
