@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: exact top-10 search over a 100K x 384 corpus on one TPU chip
+(BASELINE.md eval config #2), vs a CPU brute-force baseline standing in for
+the reference's single-machine CPU ANN (Chroma/hnswlib — which is
+approximate; ours is exact, so the quality bar recall@10 is also reported).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS/chip, "unit": "qps", "vs_baseline": ratio, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import numpy as np
+
+    n, d, k, qbatch = 100_000, 384, 10, 8
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    queries = rng.standard_normal((qbatch, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # ---------------- CPU brute-force baseline (numpy BLAS + argpartition)
+    def cpu_topk(q):
+        scores = q @ x.T
+        idx = np.argpartition(-scores, k, axis=1)[:, :k]
+        s = np.take_along_axis(scores, idx, axis=1)
+        order = np.argsort(-s, axis=1)
+        return np.take_along_axis(s, order, axis=1), np.take_along_axis(idx, order, axis=1)
+
+    truth_sc, truth_id = cpu_topk(queries)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cpu_topk(queries)
+    cpu_qps = qbatch * iters / (time.perf_counter() - t0)
+
+    # ---------------- TPU fused kernel
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rag.ops import fused_matmul_topk
+
+    backend = jax.default_backend()
+    xj = jnp.asarray(x, jnp.bfloat16)
+    qj = jnp.asarray(queries)
+
+    sc, ids = fused_matmul_topk(qj, xj, k)  # compile
+    sc.block_until_ready()
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sc, ids = fused_matmul_topk(qj, xj, k)
+    sc.block_until_ready()
+    tpu_qps = qbatch * iters / (time.perf_counter() - t0)
+
+    ids_np = np.asarray(ids)
+    recall = float(np.mean([
+        len(set(ids_np[i]) & set(truth_id[i])) / k for i in range(qbatch)
+    ]))
+
+    print(json.dumps({
+        "metric": "exact_top10_qps_per_chip_100k_384d_bf16",
+        "value": round(tpu_qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+        "baseline_cpu_bruteforce_qps": round(cpu_qps, 1),
+        "recall_at_10_vs_f32_exact": recall,
+        "backend": backend,
+        "corpus": {"n": n, "dim": d, "dtype": "bfloat16", "k": k, "query_batch": qbatch},
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a line
+        print(json.dumps({"metric": "error", "value": 0, "unit": "qps",
+                          "vs_baseline": 0, "error": str(e)}))
+        sys.exit(1)

@@ -1,0 +1,98 @@
+"""End-to-end script tests (tiny encoder spec, CPU): build_index ->
+query_local, md_to_json, import_chat_history conversion."""
+
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def env(tmp_path, monkeypatch):
+    monkeypatch.setenv("PERSIST_DIR", str(tmp_path / "vs"))
+    monkeypatch.setenv("KB_DB_PATH", str(tmp_path / "db/kb.sqlite3"))
+    monkeypatch.setenv("DB_PATH", str(tmp_path / "db/app.sqlite3"))
+    monkeypatch.setenv("DOCS_DIR", str(tmp_path / "docs"))
+    monkeypatch.setenv("EMBEDDING_MODEL", "tiny")  # 2-layer 64-d test spec
+    monkeypatch.setenv("INDEX_DTYPE", "float32")
+    monkeypatch.setenv("USE_PALLAS", "false")
+    monkeypatch.setenv("EMBED_SEQ_LEN", "64")
+    monkeypatch.setenv("TPU_RAG_ENV_FILE", str(tmp_path / "nonexistent.env"))
+    docs = tmp_path / "docs" / "lore"
+    docs.mkdir(parents=True)
+    (docs / "temple.json").write_text(json.dumps({
+        "id": "temple", "title": "Moon Temple", "summary": "a temple on a cliff",
+        "body": {"location": "stands on the silver cliff above the bay",
+                 "rituals": ["dusk chant", "tide offering"]},
+    }), encoding="utf-8")
+    (docs / "dragon.json").write_text(json.dumps([{
+        "id": "dragon", "title": "Dragon", "summary": "fire dragon",
+        "body": "dragons breathe fire in the mountains",
+    }]), encoding="utf-8")
+    return tmp_path
+
+
+def test_build_index_and_query_local(env, monkeypatch, capsys):
+    import scripts.build_index as bi
+
+    monkeypatch.setattr(sys, "argv", ["build_index.py"])
+    bi.main()
+    out = capsys.readouterr().out
+    assert "Indexed logical documents: 2" in out
+    # temple doc -> summary + 2 sections; dragon -> summary + body = 5 chunks
+    assert "5/5 chunks" in out
+
+    import scripts.query_local as ql
+
+    monkeypatch.setattr(sys, "argv", ["query_local.py", "silver cliff bay", "--k", "3", "--json"])
+    ql.main()
+    data = json.loads(capsys.readouterr().out)
+    assert len(data["hits"]) == 3
+    ids = [h["id"] for h in data["hits"]]
+    assert any(i.startswith("temple::") for i in ids)
+    # namespace defaulted from folder
+    assert data["hits"][0]["metadata"]["namespace"] == "lore"
+
+
+def test_md_to_json(tmp_path, monkeypatch, capsys):
+    from scripts.md_to_json import md_to_doc
+
+    doc = md_to_doc("# Title Here\npreamble text\n\n## Section A\ncontent a\n\n## Section B\ncontent b",
+                    doc_id="t1", namespace="notes")
+    assert doc["title"] == "Title Here"
+    assert doc["summary"] == "preamble text"
+    assert set(doc["body"]) == {"Section A", "Section B"}
+    assert doc["namespace"] == "notes"
+
+
+def test_import_chat_history_mapping(tmp_path):
+    from scripts.import_chat_history import conversation_to_pairs, pairs_to_docs
+
+    conv = {
+        "title": "test conv", "id": "c1",
+        "mapping": {
+            "root": {"parent": None, "children": ["m1"], "message": None},
+            "m1": {"parent": "root", "children": ["m2"],
+                   "message": {"author": {"role": "user"},
+                               "content": {"parts": ["hello there"]}}},
+            "m2": {"parent": "m1", "children": [],
+                   "message": {"author": {"role": "assistant"},
+                               "content": {"parts": ["hi, how can I help?"]}}},
+        },
+    }
+    pairs = conversation_to_pairs(conv)
+    assert pairs == [("hello there", "hi, how can I help?")]
+    docs = pairs_to_docs(conv, pairs)
+    assert docs[0]["namespace"] == "history"
+    assert docs[0]["canonicality"] == "non"
+    assert docs[0]["body"]["prompt"] == "hello there"
+    assert docs[0]["body"]["thread_id"] == "c1"
+
+
+def test_import_chat_history_jsonl(tmp_path):
+    from scripts.import_chat_history import conversation_to_pairs, load_conversations
+
+    p = tmp_path / "hist.jsonl"
+    p.write_text('{"role": "user", "content": "q1"}\n{"role": "assistant", "content": "a1"}\n')
+    convs = load_conversations(str(p))
+    assert conversation_to_pairs(convs[0]) == [("q1", "a1")]

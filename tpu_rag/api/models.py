@@ -41,6 +41,10 @@ class ComposeRequest(BaseModel):
     num_predict: Optional[int] = None
     thread_id: Optional[str] = None
     style: Optional[StyleSpec] = None
+    # extension: extra system guard supplied by the client (the web UI sends
+    # a multilingual prompt-injection defense — the reference injected this
+    # via a fetch monkey-patch, reference web/main.js:489-531)
+    client_guard: Optional[str] = None
 
 
 class ChatRequest(BaseModel):

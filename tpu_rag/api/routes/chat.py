@@ -61,6 +61,8 @@ def register(app: App, engine: RagEngine) -> None:
         messages, temperature = engine.prepare_messages(
             body.query, combined_ctx, body.mode, lang,
             target_length=body.target_length, style=style)
+        if body.client_guard:
+            messages.insert(1, {"role": "system", "content": body.client_guard})
         try:
             draft, used_engine = engine.generate(
                 messages, engine=body.engine, temperature=temperature,
@@ -111,6 +113,8 @@ def register(app: App, engine: RagEngine) -> None:
                 messages, temperature = engine.prepare_messages(
                     body.query, combined_ctx, body.mode, lang,
                     target_length=body.target_length, style=style)
+                if body.client_guard:
+                    messages.insert(1, {"role": "system", "content": body.client_guard})
                 yield sse({"type": "text", "data": ""})  # warm-up event
                 stream, final_engine = engine.generate(
                     messages, engine=body.engine, stream=True,
