@@ -1,0 +1,147 @@
+"""Behavioral edge cases preserved from the reference (SURVEY.md §7
+"Behavioral edge cases to preserve")."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from tpu_rag.api.app import create_app
+from tpu_rag.api.testclient import TestClient
+from tpu_rag.config import Config
+from tpu_rag.engine import RagEngine
+
+from tests.test_api import FakeEncoder, ScriptedBackend, ScriptedDispatcher
+
+
+@pytest.fixture()
+def env(tmp_path):
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"),
+        kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs"),
+        index_dtype="float32",
+        use_pallas=False,
+        summarize_mode="off",
+    )
+    engine = RagEngine(cfg, encoder=FakeEncoder(),
+                       dispatcher=ScriptedDispatcher(ScriptedBackend()))
+    return engine, TestClient(create_app(engine=engine))
+
+
+def _seed(client, n=25):
+    for i in range(n):
+        client.post("/docs/save", json={
+            "title": f"Doc {i}", "content": f"dragon topic number {i} alpha beta",
+            "metadata": {"namespace": "lore"}})
+
+
+def test_k_clamped_1_to_20(env):
+    engine, client = env
+    _seed(client, 25)
+    # k=50 -> vector hits clamped to 20 (reference api/app.py:546)
+    hits = engine.query_vector("dragon topic", 50, None, None)
+    assert len(hits) == 20
+    hits = engine.query_vector("dragon topic", 0, None, None)
+    assert len(hits) == 1
+
+
+def test_fts_gets_half_k_and_vector_first(env):
+    engine, client = env
+    # one vector doc + kb items that match by keyword
+    client.post("/docs/save", json={"title": "V", "content": "zebra unique vecword"})
+    for i in range(6):
+        engine.db.upsert_kb_item("wiki", str(i), f"K{i}", "zebra keyword row")
+    hits = engine.search_internal("zebra", 6, None, None, rerank=False)
+    # FTS contributes at most k//2 = 3 (reference api/app.py:587)
+    db_hits = [h for h in hits if str(h["id"]).startswith("db:")]
+    assert len(db_hits) == 3
+    # vector hits come first (reference api/app.py:595)
+    assert not str(hits[0]["id"]).startswith("db:")
+
+
+def test_compose_ignores_rerank_flag(env, monkeypatch):
+    """The reference's _search_internal takes `rerank` but never applies it
+    (api/app.py:585-598) — /compose must not invoke the cross-encoder."""
+    engine, client = env
+    _seed(client, 3)
+    called = []
+    monkeypatch.setattr(engine, "rerank", lambda q, h: called.append(1) or h)
+    client.post("/compose", json={"query": "dragon topic", "k": 3, "rerank": True})
+    assert called == []
+
+
+def test_search_honors_rerank_flag(env, monkeypatch):
+    engine, client = env
+    _seed(client, 3)
+    called = []
+
+    def fake_rerank(q, hits):
+        called.append(1)
+        return hits
+
+    monkeypatch.setattr(engine, "rerank", fake_rerank)
+    client.post("/search", json={"query": "dragon topic", "k": 3, "rerank": True})
+    assert called == [1]
+    client.post("/search", json={"query": "dragon topic", "k": 3, "rerank": False})
+    assert called == [1]  # unchanged
+
+
+def test_stream_tail_full_hits_vs_compose_slim_citations(env):
+    engine, client = env
+    _seed(client, 2)
+    r = client.post("/compose", json={"query": "dragon topic", "k": 2})
+    slim = r.json()["citations"][0]
+    assert set(slim) == {"id", "file_path", "section"}  # slim (chat.py:166-169)
+
+    import json as _json
+
+    r = client.post("/compose_stream", json={"query": "dragon topic", "k": 2})
+    frames = "".join(r.iter_stream())
+    tail = [_json.loads(b[6:]) for b in frames.split("\n\n")
+            if b.startswith("data: ") and "citations" in b][0]
+    full = tail["citations"][0]
+    assert "text" in full and "metadata" in full and "score" in full  # full objects
+
+
+def test_auth_disabled_for_changeme_key(tmp_path):
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"), kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"), docs_dir=str(tmp_path / "docs"),
+        api_key="changeme", index_dtype="float32", use_pallas=False)
+    engine = RagEngine(cfg, encoder=FakeEncoder(),
+                       dispatcher=ScriptedDispatcher(ScriptedBackend()))
+    client = TestClient(create_app(engine=engine))
+    # "changeme" means auth off (reference api/app.py:118-121)
+    assert client.get("/health").status_code == 200
+
+
+def test_meta_filter_skipped_when_canonicality_meta(env):
+    engine, client = env
+    client.post("/docs/save", json={
+        "title": "Schema Guide", "content": "meta dragondoc content",
+        "metadata": {"namespace": "meta", "canonicality": "meta"}})
+    # default: meta hit filtered out of hybrid search
+    hits = engine.search_internal("dragondoc", 5, None, None, False)
+    assert hits == []
+    # canonicality=meta: filter disabled AND vector filter selects meta rows
+    hits = engine.search_internal("dragondoc", 5, None, "meta", False)
+    assert any("Schema Guide" == (h.get("metadata") or {}).get("title") for h in hits)
+
+
+def test_content_hash_whitespace_invariant():
+    from tpu_rag.ingest.schema import content_hash, normalize_text
+
+    assert normalize_text("  a \n\t b  ") == "a b"
+    assert content_hash("a   b") == content_hash("a\nb")
+    assert content_hash("a b") == hashlib.sha256(b"a b").hexdigest()
+
+
+def test_slug_cjk_preserved():
+    from tpu_rag.ingest.schema import slug
+
+    assert slug("Hello World!") == "hello-world"
+    assert slug("月亮 Temple") == "月亮-temple"
+    assert slug("") == "untitled"
+    assert len(slug("x" * 200)) == 80

@@ -23,7 +23,7 @@ def vector_hits(index, query_vec, k: int, namespace: str | None,
                 canonicality: str | None) -> list[dict]:
     """Search the vector index and shape hits like the reference's
     _query_chroma (score = distance, rank from 1)."""
-    k = max(1, min(int(k or 5), 20))
+    k = max(1, min(int(5 if k is None else k), 20))
     res = index.search(query_vec, k, namespace=namespace or None,
                        canonicality=canonicality or None)
     hits = []
