@@ -114,3 +114,34 @@ def test_quantize_roundtrip():
     from tpu_rag.ops import dequantize_int8_rows
     back = np.array(dequantize_int8_rows(vals, scales))
     np.testing.assert_allclose(back, x, atol=1.5 / 127)
+
+
+def test_fused_assume_padded_matches():
+    from tpu_rag.ops.topk import default_block_n
+
+    qs, x = _make(n=3000)
+    bn = default_block_n(384, 4, 2048)
+    n_pad = -(-3000 // bn) * bn
+    xp = np.zeros((n_pad, 384), np.float32)
+    xp[:3000] = x
+    ns = np.full((n_pad,), PAD_TAG, np.int32)
+    ns[:3000] = 0
+    sc, ids = fused_matmul_topk(
+        jnp.array(qs), jnp.array(xp), 10,
+        ns_tags=jnp.array(ns), canon_tags=jnp.array(ns),
+        assume_padded=True, block_n=bn)
+    _, ref_ids = _numpy_topk(qs, x, 10)
+    assert np.array_equal(np.array(ids), ref_ids)
+
+
+def test_xla_reference_excludes_padded_rows():
+    """Padding rows (PAD_TAG) must never win even when real scores are negative."""
+    qs, x = _make(n=100, q=2)
+    n_pad = 160
+    xp = np.zeros((n_pad, 384), np.float32)
+    xp[:100] = -np.abs(x)  # all real scores <= 0; zero padding rows score 0
+    ns = np.full((n_pad,), PAD_TAG, np.int32)
+    ns[:100] = 0
+    sc, ids = topk_xla_reference(jnp.array(qs), jnp.array(xp), 5,
+                                 ns_tags=jnp.array(ns))
+    assert np.array(ids).max() < 100

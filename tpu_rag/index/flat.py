@@ -79,6 +79,7 @@ class FlatIndex:
 
         self._device: dict[str, Any] | None = None  # lazily built snapshot
         self._dirty = True
+        self._wants_cache: dict[tuple[int, int], Any] = {}  # device arrays
 
     # ------------------------------------------------------------- mutation
 
@@ -162,17 +163,35 @@ class FlatIndex:
     # ------------------------------------------------------------- device
 
     def _compact(self) -> dict[str, Any]:
-        """Build the device snapshot from live rows only."""
+        """Build the device snapshot from live rows only, pre-padded to the
+        kernel tile height (host-side, once per refresh) so searches skip all
+        per-call padding work."""
+        from tpu_rag.ops.topk import PAD_TAG, default_block_n
+
         live = np.flatnonzero(self._alive)
-        vecs = self._vectors[live]
+        n = len(live)
+        dtype_bytes = 1 if self.dtype == "int8" else (2 if self.dtype == "bfloat16" else 4)
+        bn = default_block_n(self.dim, dtype_bytes, self.block_n)
+        n_pad = max(bn, -(-n // bn) * bn)
+
+        vecs = np.zeros((n_pad, self.dim), np.float32)
+        vecs[:n] = self._vectors[live]
+        ns = np.full((n_pad,), PAD_TAG, np.int32)
+        canon = np.full((n_pad,), PAD_TAG, np.int32)
+        ns[:n] = self._ns[live]
+        canon[:n] = self._canon[live]
+
         snap: dict[str, Any] = {
             "rows": live,                      # device row -> host row
-            "ns": jnp.asarray(self._ns[live]),
-            "canon": jnp.asarray(self._canon[live]),
-            "n": len(live),
+            "ns": jnp.asarray(ns),
+            "canon": jnp.asarray(canon),
+            "n": n,
+            "n_pad": n_pad,
+            "bn": bn,
         }
         if self.dtype == "int8":
             vals, scales = quantize_int8_rows(jnp.asarray(vecs))
+            scales = scales.at[n:].set(0.0) if n_pad > n else scales
             snap["vectors"] = vals
             snap["scales"] = scales
         else:
@@ -217,13 +236,20 @@ class FlatIndex:
 
         snap = self.device_snapshot()
         qj = jnp.asarray(queries)
+        # cache the filter pair as a device array: a fresh host->device
+        # transfer per search costs a full RTT on tunneled backends
+        wants = self._wants_cache.get((want_ns, want_canon))
+        if wants is None:
+            wants = jnp.array([[want_ns, want_canon]], jnp.int32)
+            self._wants_cache[(want_ns, want_canon)] = wants
         if self.use_pallas:
             sc, idx = fused_matmul_topk(
                 qj, snap["vectors"], k,
                 db_scales=snap["scales"],
                 ns_tags=snap["ns"], canon_tags=snap["canon"],
-                want_ns=want_ns, want_canon=want_canon,
-                block_n=self.block_n,
+                wants=wants,
+                block_n=snap["bn"],
+                assume_padded=True,
             )
         else:
             sc, idx = topk_xla_reference(

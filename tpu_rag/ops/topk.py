@@ -44,9 +44,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def default_block_n(dim: int, dtype_bytes: int, requested: int = 2048) -> int:
-    """Pick a DB tile height that keeps the tile ~<=2MB of VMEM (so the
-    pipelined double-buffer fits comfortably), rounded to a multiple of 256."""
-    budget = 2 * 1024 * 1024
+    """Pick a DB tile height that keeps the tile ~<=4MB of VMEM (the grid
+    pipeline double-buffers, so ~8MB of the ~16MB VMEM goes to DB tiles),
+    rounded to a multiple of 256."""
+    budget = 4 * 1024 * 1024
     bn = min(requested, max(256, budget // max(1, dim * dtype_bytes)))
     return max(256, (bn // 256) * 256)
 
@@ -164,8 +165,14 @@ def fused_matmul_topk(
     want_canon: int = -1,
     block_n: int = 2048,
     interpret: bool | None = None,
+    assume_padded: bool = False,
+    wants=None,
 ):
     """Exact top-k inner-product search: returns (scores (q,k) f32, ids (q,k) i32).
+
+    Pass `wants` as a pre-existing (1, 2) int32 DEVICE array to avoid a
+    host->device transfer per call (transfers are expensive on tunneled
+    backends); it overrides want_ns/want_canon.
 
     queries:   (q, d) float32/bfloat16
     database:  (n, d) float32/bfloat16, or int8 with db_scales (n,) float32
@@ -188,31 +195,42 @@ def fused_matmul_topk(
     qp = _round_up(max(q, 8), 8)
 
     compute_dtype = jnp.bfloat16 if (is_int8 or database.dtype == jnp.bfloat16) else database.dtype
-    q_pad = jnp.zeros((qp, d), compute_dtype).at[:q].set(queries.astype(compute_dtype))
-
-    x_pad = database
-    if n_pad != n:
-        x_pad = jnp.zeros((n_pad, d), database.dtype).at[:n].set(database)
-
-    def pad_tags(t, fill_real):
-        if t is None:
-            t = jnp.full((n,), fill_real, jnp.int32)
-        out = jnp.full((n_pad,), PAD_TAG, jnp.int32)
-        return out.at[:n].set(t.astype(jnp.int32))
-
-    ns_pad = pad_tags(ns_tags, 0)
-    canon_pad = pad_tags(canon_tags, 0)
-    if db_scales is None:
-        scale_pad = jnp.ones((n_pad,), jnp.float32)
+    if q == qp and queries.dtype == compute_dtype:
+        q_pad = queries
     else:
-        scale_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(db_scales.astype(jnp.float32))
+        q_pad = jnp.zeros((qp, d), compute_dtype).at[:q].set(queries.astype(compute_dtype))
+
+    if assume_padded:
+        # caller guarantees: n % bn == 0, tags/scales are full-length with
+        # PAD_TAG already in padding rows (see FlatIndex._compact)
+        x_pad, ns_pad, canon_pad, scale_pad = database, ns_tags, canon_tags, db_scales
+        if scale_pad is None:
+            scale_pad = jnp.ones((n_pad,), jnp.float32)
+    else:
+        x_pad = database
+        if n_pad != n:
+            x_pad = jnp.zeros((n_pad, d), database.dtype).at[:n].set(database)
+
+        def pad_tags(t, fill_real):
+            if t is None:
+                t = jnp.full((n,), fill_real, jnp.int32)
+            out = jnp.full((n_pad,), PAD_TAG, jnp.int32)
+            return out.at[:n].set(t.astype(jnp.int32))
+
+        ns_pad = pad_tags(ns_tags, 0)
+        canon_pad = pad_tags(canon_tags, 0)
+        if db_scales is None:
+            scale_pad = jnp.ones((n_pad,), jnp.float32)
+        else:
+            scale_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(db_scales.astype(jnp.float32))
 
     # stack (not jnp.array) so want_ns/want_canon may be traced scalars,
     # e.g. when called inside shard_map (tpu_rag/parallel/sharded.py)
-    wants = jnp.stack([
-        jnp.asarray(want_ns, jnp.int32),
-        jnp.asarray(want_canon, jnp.int32),
-    ]).reshape(1, 2)
+    if wants is None:
+        wants = jnp.stack([
+            jnp.asarray(want_ns, jnp.int32),
+            jnp.asarray(want_canon, jnp.int32),
+        ]).reshape(1, 2)
 
     top_sc, top_id = _fused_topk_padded(
         q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
@@ -245,6 +263,7 @@ def topk_xla_reference(
     # on their values) so this is usable inside shard_map.
     if ns_tags is not None:
         want_ns = jnp.asarray(want_ns, jnp.int32)
+        ok = ok & (ns_tags != PAD_TAG)  # exclude pre-padded rows
         ok = ok & ((want_ns < 0) | (ns_tags == want_ns))
     if canon_tags is not None:
         want_canon = jnp.asarray(want_canon, jnp.int32)
