@@ -330,3 +330,30 @@ def test_readonly_mode_enforced(tmp_path):
                                            "title": "t", "content": "c"}).status_code == 403
     # reads still work
     assert client.get("/docs/list").status_code == 200
+
+
+def test_metrics_endpoint(env):
+    _, _, client = env
+    client.get("/health")
+    client.post("/search", json={"query": "anything", "k": 2})
+    r = client.get("/metrics")
+    assert r.status_code == 200
+    text = r.text
+    assert "http_get_health_total" in text
+    assert "http_post_search_total" in text
+    assert "_seconds_sum" in text
+
+
+def test_query_embed_cache(env):
+    _, engine, client = env
+    calls = []
+    orig = engine.embed
+
+    def counting(texts):
+        calls.append(texts)
+        return orig(texts)
+
+    engine.embed = counting
+    engine.query_vector("repeat me", 3, None, None)
+    engine.query_vector("repeat me", 3, None, None)
+    assert len(calls) == 1  # second query served from the LRU

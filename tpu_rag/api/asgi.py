@@ -138,6 +138,8 @@ class App:
         self.routes: list[_Route] = []
         self.static_mounts: list[tuple[str, Path]] = []
         self.auth = auth
+        from tpu_rag.utils.metrics import GLOBAL_METRICS
+        self.metrics = GLOBAL_METRICS
 
     # ----------------------------------------------------------- registry
 
@@ -225,12 +227,24 @@ class App:
                 if params is None:
                     continue
                 request.path_params = params
-                return self._run_handler(route, request)
+                name = "http_" + request.method.lower() + "_" + (
+                    "_".join(s.strip("{}") for s in route.segments) or "root")
+                self.metrics.inc(name + "_total")
+                with self.metrics.timed(name):
+                    response = self._run_handler(route, request)
+                if response.status_code >= 500:
+                    self.metrics.inc("http_errors_5xx_total")
+                elif response.status_code >= 400:
+                    self.metrics.inc("http_errors_4xx_total")
+                return response
             return Response({"detail": "not found"}, 404)
         except HTTPException as e:
+            self.metrics.inc("http_errors_4xx_total" if e.status_code < 500
+                             else "http_errors_5xx_total")
             return Response({"detail": e.detail}, e.status_code)
         except Exception as e:
             logger.error("handler error: %s\n%s", e, traceback.format_exc())
+            self.metrics.inc("http_errors_5xx_total")
             return Response({"detail": f"internal error: {e}"}, 500)
 
     # ----------------------------------------------------------- ASGI

@@ -74,6 +74,12 @@ def register(app: App, engine: RagEngine) -> None:
             },
         }
 
+    @app.get("/metrics")
+    def metrics():
+        from tpu_rag.api.asgi import Response
+
+        return Response(app.metrics.render(), media_type="text/plain; version=0.0.4")
+
     @app.get("/config")
     def config():
         return {

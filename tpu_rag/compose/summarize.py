@@ -71,17 +71,36 @@ class Summarizer:
         return result
 
     def build_context(self, hits: list[dict], language: str | None,
-                      max_chars: int = 4000, max_chars_per_chunk: int = 600) -> tuple[str, int]:
+                      max_chars: int = 4000, max_chars_per_chunk: int = 600,
+                      parallel: int = 4) -> tuple[str, int]:
         """Pack summarized <<<CHUNK id=...>>> blocks under the budget; returns
-        (context, number of hits used) — reference api/app.py:497-507."""
+        (context, number of hits used) — reference api/app.py:497-507.
+
+        Unlike the reference (which issued one blocking LLM call per chunk in
+        sequence — the dominant /compose latency, SURVEY.md §3.1), cache-miss
+        summarizations run concurrently (LLM calls are IO-bound).  Packing
+        order and the char-budget cutoff are unchanged."""
+        texts = [(h.get("text") or h.get("summary") or h.get("content") or "")
+                 for h in hits]
+        todo = [t for t in texts if t]
+        if self.mode != "off" and len(todo) > 1 and parallel > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(parallel, len(todo))) as pool:
+                summaries = list(pool.map(
+                    lambda t: self.summarize_chunk(t, language, max_chars_per_chunk), todo))
+            summarized_by_text = dict(zip(todo, summaries))
+        else:
+            summarized_by_text = {}
+
         pieces: list[str] = []
         total = 0
         used = 0
-        for h in hits:
-            raw = h.get("text") or h.get("summary") or h.get("content") or ""
+        for h, raw in zip(hits, texts):
             if not raw:
                 continue
-            summarized = self.summarize_chunk(raw, language, max_chars_per_chunk)
+            summarized = summarized_by_text.get(raw) or self.summarize_chunk(
+                raw, language, max_chars_per_chunk)
             block = f"<<<CHUNK id={h.get('id', '?')}>>>\n{summarized}\n<<<END_CHUNK>>>"
             if total + len(block) > max_chars:
                 break

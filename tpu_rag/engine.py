@@ -10,9 +10,11 @@ with fakes.
 
 from __future__ import annotations
 
+import hashlib
 import logging
 import threading
 import time
+from collections import OrderedDict
 from pathlib import Path
 
 from tpu_rag.config import Config
@@ -54,6 +56,10 @@ class RagEngine:
 
         self.index = index if index is not None else self._load_or_create_index()
         self._index_lock = threading.Lock()
+        # query-embedding LRU (the reference re-embedded every repeat query)
+        self._qvec_cache: "OrderedDict[str, object]" = OrderedDict()
+        self._qvec_lock = threading.Lock()
+        self._qvec_cache_size = 1024
         self.indexer = DocIndexer(
             self.config.kb_db_path,
             embed_fn=self.embed,
@@ -136,7 +142,17 @@ class RagEngine:
         t = timings or StageTimings()
         try:
             with t.stage("embed"):
-                qv = self.embed([query])
+                key = hashlib.md5(query.encode("utf-8")).hexdigest()
+                with self._qvec_lock:
+                    qv = self._qvec_cache.get(key)
+                    if qv is not None:
+                        self._qvec_cache.move_to_end(key)
+                if qv is None:
+                    qv = self.embed([query])
+                    with self._qvec_lock:
+                        self._qvec_cache[key] = qv
+                        while len(self._qvec_cache) > self._qvec_cache_size:
+                            self._qvec_cache.popitem(last=False)
             with t.stage("vector_search"):
                 return vector_hits(self.index, qv, k, namespace, canonicality)
         except Exception as e:
