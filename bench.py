@@ -45,6 +45,9 @@ def main() -> None:
     # filter pair) exactly like FlatIndex's snapshot fast path; timing is
     # amortized over a queued batch with a host readback as the final sync
     # (block_until_ready is unreliable on tunneled backends).
+    from tpu_rag.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -25,6 +25,9 @@ def main() -> None:
     from tpu_rag.api.app import create_app
     from tpu_rag.api.server import run_app
     from tpu_rag.config import config_from_env
+    from tpu_rag.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     cfg = config_from_env()
     if args.host:
