@@ -60,15 +60,27 @@ class BiEncoder:
         batch: int = 64,
         dtype: str = "bfloat16",
         spec: BertSpec | None = None,
+        mesh=None,
     ) -> None:
+        """mesh: optional jax.sharding.Mesh with a "data" axis — embed batches
+        are sharded across it (DP ingest throughput; SURVEY.md §2.5)."""
         self.model_name = model_name
         self.spec = spec or spec_for_model(model_name)
         self.seq_len = seq_len
         self.batch = batch
+        self.mesh = mesh
         self.compute_dtype = jnp.bfloat16 if (dtype == "bfloat16" and jax.default_backend() == "tpu") else jnp.float32
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.spec.vocab_size)
         self.module = BertEncoder(self.spec, dtype=self.compute_dtype)
         self.params = self._init_params(weights_path)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            unit = mesh.shape["data"]
+            self.batch = -(-self.batch // unit) * unit  # divisible by the data axis
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(
+                self.params, jax.tree_util.tree_map(lambda _: rep, self.params))
         self._jit_cache: dict[tuple[int, int], any] = {}
 
     @property
@@ -91,21 +103,33 @@ class BiEncoder:
         if fn is None:
             module = self.module
 
-            @jax.jit
-            def fwd(params, ids, mask):
+            def fwd_impl(params, ids, mask):
                 hidden = module.apply({"params": params}, ids, mask)
                 pooled = mean_pool(hidden, mask)
                 return l2_normalize(pooled.astype(jnp.float32))
 
-            fn = fwd
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                shard = NamedSharding(self.mesh, P("data", None))
+                fn = jax.jit(
+                    fwd_impl,
+                    in_shardings=(jax.tree_util.tree_map(lambda _: rep, self.params),
+                                  shard, shard),
+                    out_shardings=shard,
+                )
+            else:
+                fn = jax.jit(fwd_impl)
             self._jit_cache[(b, t)] = fn
         return fn
 
     def _bucket(self, n: int) -> int:
+        unit = self.mesh.shape["data"] if self.mesh is not None else 1
         for b in (8, 16, 32):
-            if n <= b <= self.batch:
+            if n <= b <= self.batch and b % unit == 0:
                 return b
-        return self.batch
+        return max(self.batch, unit)
 
     def embed(self, texts: list[str]) -> np.ndarray:
         """Batched embed: returns (len(texts), dim) float32, L2-normalized."""
