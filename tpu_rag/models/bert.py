@@ -51,10 +51,14 @@ class BertLayer(nn.Module):
 
 
 class BertEncoder(nn.Module):
-    """Returns final hidden states (B, T, H). Pooling lives in the heads."""
+    """Returns final hidden states (B, T, H). Pooling lives in the heads.
+
+    remat=True rematerializes each layer in the backward pass (training
+    memory/FLOPs trade — jax.checkpoint via nn.remat)."""
 
     spec: BertSpec
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, ids, mask, type_ids=None):
@@ -71,8 +75,9 @@ class BertEncoder(nn.Module):
 
         # (B, 1, T, T) additive-free boolean attention mask
         attn_mask = (mask[:, None, None, :] > 0) & (mask[:, None, :, None] > 0)
+        layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(s.layers):
-            x = BertLayer(s, dtype=self.dtype, name=f"layer_{i}")(x, attn_mask)
+            x = layer_cls(s, dtype=self.dtype, name=f"layer_{i}")(x, attn_mask)
         return x
 
 

@@ -62,7 +62,8 @@ class ContrastiveTrainer:
         self.spec = spec
         self.mesh = mesh
         self.tau = tau
-        self.module = BertEncoder(spec, dtype=dtype)
+        # remat: recompute layer activations in backward (HBM for FLOPs)
+        self.module = BertEncoder(spec, dtype=dtype, remat=True)
         self.optimizer = optax.adamw(lr)
 
         rng = jax.random.PRNGKey(seed)
