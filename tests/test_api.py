@@ -357,3 +357,32 @@ def test_query_embed_cache(env):
     engine.query_vector("repeat me", 3, None, None)
     engine.query_vector("repeat me", 3, None, None)
     assert len(calls) == 1  # second query served from the LRU
+
+
+def test_compose_with_llm_summarization(tmp_path):
+    """summarize_mode=llm: per-chunk and history summarization flow through
+    the dispatcher (reference api/app.py:467-523 semantics)."""
+    from tpu_rag.llm.extractive import ExtractiveBackend
+
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"),
+        kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs"),
+        index_dtype="float32",
+        use_pallas=False,
+        summarize_mode="llm",
+    )
+    engine = RagEngine(cfg, encoder=FakeEncoder(),
+                       dispatcher=ScriptedDispatcher(ExtractiveBackend()))
+    client = TestClient(create_app(engine=engine))
+    client.post("/docs/save", json={"title": "Star Atlas",
+                                    "content": "the atlas charts every northern star"})
+    # two turns on one thread -> history block + rolling summary exercised
+    r1 = client.post("/compose", json={"query": "northern star atlas", "k": 2,
+                                       "thread_id": "s", "language": "en"})
+    assert r1.status_code == 200 and r1.json()["draft"]
+    r2 = client.post("/compose", json={"query": "northern star atlas again", "k": 2,
+                                       "thread_id": "s", "language": "en"})
+    assert r2.status_code == 200
+    assert engine.db.get_summary("s")  # rolling summary persisted

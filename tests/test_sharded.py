@@ -64,3 +64,20 @@ def test_sharded_pallas_interpret():
     sharded.add(ids, vecs)
     q = rng.standard_normal((2, d)).astype(np.float32)
     assert sharded.search(q, 5).ids == flat.search(q, 5).ids
+
+
+def test_sharded_int8():
+    rng = np.random.default_rng(3)
+    n, d = 1500, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    exact = FlatIndex(d, dtype="float32", use_pallas=False)
+    exact.add(ids, vecs)
+    sharded8 = ShardedFlatIndex(d, dtype="int8", use_pallas=False,
+                                mesh=mesh_from_spec("data:8"))
+    sharded8.add(ids, vecs)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    truth = exact.search(q, 10)
+    got = sharded8.search(q, 10)
+    recalls = [len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, got.ids)]
+    assert np.mean(recalls) >= 0.9  # int8 quantization tolerance
