@@ -161,3 +161,48 @@ def test_empty_index_search():
     idx = FlatIndex(16)
     res = idx.search(np.ones(16, np.float32), 5)
     assert res.ids == [[]]
+
+
+def test_concurrent_add_search_delete():
+    """Mutations and searches from multiple threads stay consistent
+    (the reference had unguarded shared state — SURVEY.md §5)."""
+    import threading
+
+    idx = FlatIndex(16, dtype="float32", use_pallas=False)
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((64, 16)).astype(np.float32)
+    idx.add([f"seed{i}" for i in range(64)], base)
+    errors = []
+
+    def adder(t):
+        try:
+            for i in range(20):
+                v = rng.standard_normal((1, 16)).astype(np.float32)
+                idx.add([f"t{t}-{i}"], v)
+        except Exception as e:
+            errors.append(e)
+
+    def searcher():
+        try:
+            for _ in range(30):
+                res = idx.search(base[0], 5)
+                assert len(res.ids[0]) == 5
+        except Exception as e:
+            errors.append(e)
+
+    def deleter():
+        try:
+            for i in range(0, 30, 2):
+                idx.delete(ids=[f"seed{i}"])
+        except Exception as e:
+            errors.append(e)
+
+    threads = ([threading.Thread(target=adder, args=(t,)) for t in range(3)]
+               + [threading.Thread(target=searcher) for _ in range(3)]
+               + [threading.Thread(target=deleter)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert idx.count() == 64 - 15 + 60

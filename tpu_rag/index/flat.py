@@ -15,6 +15,7 @@ full rebuild.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -80,6 +81,9 @@ class FlatIndex:
         self._device: dict[str, Any] | None = None  # lazily built snapshot
         self._dirty = True
         self._wants_cache: dict[tuple[int, int], Any] = {}  # device arrays
+        # guards host-side state across concurrent requests (the reference
+        # had unguarded shared mutable state — SURVEY.md §5 race detection)
+        self._lock = threading.RLock()
 
     # ------------------------------------------------------------- mutation
 
@@ -100,27 +104,28 @@ class FlatIndex:
         if self.metric == "cosine":
             vectors = _normalize(vectors)
 
-        # Upsert semantics: tombstone any existing row with the same id
-        # (parity with Chroma upsert used by scripts/build_index.py:89-96).
-        for i in ids:
-            row = self._id_to_row.get(i)
-            if row is not None:
-                self._alive[row] = False
-                del self._id_to_row[i]
+        with self._lock:
+            # Upsert semantics: tombstone any existing row with the same id
+            # (parity with Chroma upsert used by scripts/build_index.py:89-96).
+            for i in ids:
+                row = self._id_to_row.get(i)
+                if row is not None:
+                    self._alive[row] = False
+                    del self._id_to_row[i]
 
-        start = len(self._ids)
-        self._vectors = np.concatenate([self._vectors, vectors], axis=0)
-        ns = np.array([self.ns_vocab.intern(str(m.get("namespace", ""))) for m in metadatas], np.int32)
-        canon = np.array([self.canon_vocab.intern(str(m.get("canonicality", ""))) for m in metadatas], np.int32)
-        self._ns = np.concatenate([self._ns, ns])
-        self._canon = np.concatenate([self._canon, canon])
-        self._alive = np.concatenate([self._alive, np.ones(len(ids), bool)])
-        for off, (i, doc, meta) in enumerate(zip(ids, documents, metadatas)):
-            self._ids.append(i)
-            self._documents.append(doc or "")
-            self._metadatas.append(dict(meta or {}))
-            self._id_to_row[i] = start + off
-        self._dirty = True
+            start = len(self._ids)
+            self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+            ns = np.array([self.ns_vocab.intern(str(m.get("namespace", ""))) for m in metadatas], np.int32)
+            canon = np.array([self.canon_vocab.intern(str(m.get("canonicality", ""))) for m in metadatas], np.int32)
+            self._ns = np.concatenate([self._ns, ns])
+            self._canon = np.concatenate([self._canon, canon])
+            self._alive = np.concatenate([self._alive, np.ones(len(ids), bool)])
+            for off, (i, doc, meta) in enumerate(zip(ids, documents, metadatas)):
+                self._ids.append(i)
+                self._documents.append(doc or "")
+                self._metadatas.append(dict(meta or {}))
+                self._id_to_row[i] = start + off
+            self._dirty = True
 
     upsert = add
 
@@ -129,21 +134,22 @@ class FlatIndex:
         Chroma collection.delete(ids=...) / delete(where={'source_key': ...}),
         reference api/app.py:264-271,290-315)."""
         n = 0
-        for i in ids or []:
-            row = self._id_to_row.pop(i, None)
-            if row is not None:
-                self._alive[row] = False
-                n += 1
-        if where:
-            for row, meta in enumerate(self._metadatas):
-                if not self._alive[row]:
-                    continue
-                if all(str(meta.get(k)) == str(v) for k, v in where.items()):
+        with self._lock:
+            for i in ids or []:
+                row = self._id_to_row.pop(i, None)
+                if row is not None:
                     self._alive[row] = False
-                    self._id_to_row.pop(self._ids[row], None)
                     n += 1
-        if n:
-            self._dirty = True
+            if where:
+                for row, meta in enumerate(self._metadatas):
+                    if not self._alive[row]:
+                        continue
+                    if all(str(meta.get(k)) == str(v) for k, v in where.items()):
+                        self._alive[row] = False
+                        self._id_to_row.pop(self._ids[row], None)
+                        n += 1
+            if n:
+                self._dirty = True
         return n
 
     def count(self) -> int:
@@ -201,10 +207,11 @@ class FlatIndex:
         return snap
 
     def device_snapshot(self) -> dict[str, Any]:
-        if self._dirty or self._device is None:
-            self._device = self._compact()
-            self._dirty = False
-        return self._device
+        with self._lock:
+            if self._dirty or self._device is None:
+                self._device = self._compact()
+                self._dirty = False
+            return self._device
 
     # ------------------------------------------------------------- search
 
@@ -288,6 +295,10 @@ class FlatIndex:
     # ------------------------------------------------------------- state (for persistence)
 
     def state(self) -> dict[str, Any]:
+        with self._lock:
+            return self._state_locked()
+
+    def _state_locked(self) -> dict[str, Any]:
         live = np.flatnonzero(self._alive)
         return {
             "kind": self.kind,
