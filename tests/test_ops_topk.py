@@ -145,3 +145,29 @@ def test_xla_reference_excludes_padded_rows():
     sc, ids = topk_xla_reference(jnp.array(qs), jnp.array(xp), 5,
                                  ns_tags=jnp.array(ns))
     assert np.array(ids).max() < 100
+
+
+def test_bucketed_topk_recall():
+    qs, x = _make(n=8000, q=6)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 10, mode="bucketed")
+    _, ref_ids = _numpy_topk(qs, x, 10)
+    recalls = [len(set(np.array(ids)[i]) & set(ref_ids[i])) / 10 for i in range(6)]
+    assert np.mean(recalls) >= 0.9
+
+
+def test_bucketed_top1_exact():
+    """k=1 bucketed is exact: the global max always survives bucket-max."""
+    qs, x = _make(n=4000, q=5, seed=3)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 1, mode="bucketed")
+    _, ref_ids = _numpy_topk(qs, x, 1)
+    assert np.array_equal(np.array(ids), ref_ids)
+
+
+def test_bucketed_with_filter():
+    qs, x = _make(n=3000, q=3, seed=4)
+    rng = np.random.default_rng(5)
+    ns = rng.integers(0, 3, 3000).astype(np.int32)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 5,
+                                ns_tags=jnp.array(ns), want_ns=1, mode="bucketed")
+    picked = np.array(ids)
+    assert set(ns[picked[np.isfinite(np.array(sc))].ravel()]) <= {1}

