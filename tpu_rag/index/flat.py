@@ -58,6 +58,7 @@ class FlatIndex:
         metric: str = "cosine",
         use_pallas: bool = True,
         block_n: int = 2048,
+        search_mode: str = "exact",   # "exact" | "bucketed" (approx, faster)
     ) -> None:
         if metric not in ("cosine", "ip"):
             raise ValueError(f"unsupported metric: {metric}")
@@ -66,6 +67,7 @@ class FlatIndex:
         self.metric = metric
         self.use_pallas = use_pallas
         self.block_n = block_n
+        self.search_mode = search_mode
 
         self._vectors = np.zeros((0, dim), np.float32)
         self._ids: list[str] = []
@@ -257,6 +259,7 @@ class FlatIndex:
                 wants=wants,
                 block_n=snap["bn"],
                 assume_padded=True,
+                mode=self.search_mode,
             )
         else:
             sc, idx = topk_xla_reference(
