@@ -206,3 +206,29 @@ def test_concurrent_add_search_delete():
         t.join()
     assert not errors, errors
     assert idx.count() == 64 - 15 + 60
+
+
+def test_ivf_list_cap_spill_preserves_recall():
+    """With a tight list cap, rows beyond the cap spill to the exact
+    overflow buffer — nothing is lost."""
+    rng = np.random.default_rng(11)
+    # skewed data: 80% of rows clustered in one direction
+    base = rng.standard_normal((1, 32)).astype(np.float32)
+    bulk = base + 0.05 * rng.standard_normal((800, 32)).astype(np.float32)
+    rest = rng.standard_normal((200, 32)).astype(np.float32)
+    vecs = np.concatenate([bulk, rest])
+    ids = [f"v{i}" for i in range(1000)]
+    ivf = IVFIndex(32, dtype="float32", nlist=8, nprobe=8,
+                   list_cap_factor=1.0, use_pallas=False)
+    ivf.add(ids, vecs)
+    snap = ivf.device_snapshot()
+    assert len(snap["ov_rows"]) > 0  # something spilled
+    # total rows preserved: lists + overflow == 1000
+    placed = int((np.asarray(snap["row_lists"]) >= 0).sum())
+    assert placed + len(snap["ov_rows"]) == 1000
+    # exhaustive probe + exact overflow -> exact results
+    for probe in (vecs[3], vecs[950]):
+        res = ivf.search(probe, 1)
+        flat = FlatIndex(32, dtype="float32", use_pallas=False)
+        flat.add(ids, vecs)
+        assert res.ids[0] == flat.search(probe, 1).ids[0]

@@ -71,13 +71,19 @@ class IVFIndex(FlatIndex):
         nprobe: int = 8,
         kmeans_iters: int = 15,
         rebuild_ratio: float = 0.2,
+        list_cap_factor: float = 1.5,
         seed: int = 0,
     ) -> None:
+        """list_cap_factor bounds the padded-list memory: each list holds at
+        most cap = factor * (n/nlist) rows; rows beyond the cap spill into
+        the exact overflow buffer.  Keeps HBM use predictable at 10M+ scale
+        (a max-sized cap can be several x the mean on skewed data)."""
         super().__init__(dim, dtype=dtype, metric=metric, use_pallas=use_pallas, block_n=block_n)
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
         self.rebuild_ratio = rebuild_ratio
+        self.list_cap_factor = list_cap_factor
         self.seed = seed
         self._main_rows: np.ndarray = np.zeros((0,), np.int64)  # host rows in IVF lists
 
@@ -110,22 +116,41 @@ class IVFIndex(FlatIndex):
             centroids, assign = kmeans(vecs, nlist, iters=self.kmeans_iters, seed=self.seed)
             nlist = centroids.shape[0]
             counts = np.bincount(assign, minlength=nlist)
-            cap = max(8, int(-(-counts.max() // 8) * 8))
+            mean_count = max(1.0, len(main_rows) / nlist)
+            cap = int(min(counts.max(), max(8, self.list_cap_factor * mean_count)))
+            cap = max(8, -(-cap // 8) * 8)
+
+            # vectorized grouping: stable-sort rows by cluster, compute each
+            # row's slot (rank within its cluster); rows with slot >= cap
+            # spill to the exact overflow buffer
+            order = np.argsort(assign, kind="stable")
+            sorted_assign = assign[order]
+            starts = np.searchsorted(sorted_assign, np.arange(nlist))
+            slots = np.arange(len(order)) - starts[sorted_assign]
+            fits = slots < cap
+            sel = order[fits]                       # indices into main_rows
+            sel_lists = sorted_assign[fits]
+            sel_slots = slots[fits]
+
+            # live-row position for each main row (vectorized lookup)
+            live_pos_arr = np.full(int(live.max()) + 1 if len(live) else 1, -1, np.int64)
+            live_pos_arr[live] = np.arange(len(live))
+
             vec_lists = np.zeros((nlist, cap, self.dim), np.float32)
             scale_lists = np.ones((nlist, cap), np.float32)
             ns_lists = np.full((nlist, cap), PAD_TAG, np.int32)
             canon_lists = np.full((nlist, cap), PAD_TAG, np.int32)
             row_lists = np.full((nlist, cap), -1, np.int32)
-            # live-row index (position within `live`) for each main row
-            live_pos = {r: p for p, r in enumerate(live)}
-            slot = np.zeros(nlist, np.int64)
-            for vi, (row, a) in enumerate(zip(main_rows, assign)):
-                s = slot[a]
-                vec_lists[a, s] = vecs[vi]
-                ns_lists[a, s] = self._ns[row]
-                canon_lists[a, s] = self._canon[row]
-                row_lists[a, s] = live_pos[row]
-                slot[a] += 1
+            sel_rows = main_rows[sel]
+            vec_lists[sel_lists, sel_slots] = vecs[sel]
+            ns_lists[sel_lists, sel_slots] = self._ns[sel_rows]
+            canon_lists[sel_lists, sel_slots] = self._canon[sel_rows]
+            row_lists[sel_lists, sel_slots] = live_pos_arr[sel_rows]
+
+            # spilled rows leave the IVF partition; overflow handles them
+            in_lists_rows = sel_rows
+            if len(in_lists_rows) < len(main_rows):
+                self._main_rows = np.sort(in_lists_rows).astype(np.int64)
             if self.dtype == "int8":
                 flat = vec_lists.reshape(-1, self.dim)
                 vals, scales = quantize_int8_rows(jnp.asarray(flat))
@@ -140,7 +165,8 @@ class IVFIndex(FlatIndex):
             snap["canon_lists"] = jnp.asarray(canon_lists)
             snap["row_lists"] = jnp.asarray(row_lists)
             snap["nlist"] = nlist
-            overflow_mask[np.isin(live, main_rows)] = False
+            # only rows actually placed in lists leave the overflow set
+            overflow_mask[np.isin(live, in_lists_rows)] = False
         else:
             snap["nlist"] = 0
 

@@ -347,8 +347,12 @@ def topk_xla_reference(
     and as ground truth in tests."""
     x = database
     if x.dtype == jnp.int8:
-        x = x.astype(jnp.float32) * db_scales[:, None].astype(jnp.float32)
-    scores = jnp.dot(queries.astype(jnp.float32), x.astype(jnp.float32).T)
+        # rescale the scores, not the matrix: dot(q, x*s) == dot(q, x) * s
+        # for per-row s — avoids materializing a dequantized f32 copy
+        scores = jnp.dot(queries.astype(jnp.float32), x.astype(jnp.bfloat16).astype(jnp.float32).T)
+        scores = scores * db_scales[None, :].astype(jnp.float32)
+    else:
+        scores = jnp.dot(queries.astype(jnp.float32), x.astype(jnp.float32).T)
     n = database.shape[0]
     ok = jnp.ones((n,), bool)
     # wants may be traced scalars; keep the masking dynamic (no python `if`
