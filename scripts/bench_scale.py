@@ -27,7 +27,50 @@ CONFIGS = {
     "flat-1m-bf16": (1_000_000, "bfloat16"),
     "flat-10m-bf16": (10_000_000, "bfloat16"),
     "flat-10m-int8": (10_000_000, "int8"),
+    "ivf-1m-bf16": (1_000_000, "bfloat16"),
 }
+
+
+def _run_ivf(n, d, k, qbatch, args) -> None:
+    """IVF build (on-device k-means) + nprobe sweep vs exact ground truth
+    (BASELINE.md config #4 shape, 1M scale)."""
+    import numpy as np
+    import time as _t
+
+    from tpu_rag.index import FlatIndex, IVFIndex
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [str(i) for i in range(n)]
+    queries = rng.standard_normal((qbatch, d)).astype(np.float32)
+
+    exact = FlatIndex(d, dtype="bfloat16", use_pallas=False)
+    exact.add(ids, vecs)
+    truth = exact.search(queries, k)
+
+    ivf = IVFIndex(d, dtype="bfloat16", nlist=int(2 * np.sqrt(n)), use_pallas=False)
+    ivf.add(ids, vecs)
+    t0 = _t.time()
+    ivf.device_snapshot()  # k-means build + grouping + upload
+    build_s = _t.time() - t0
+
+    sweep = {}
+    for nprobe in (1, 4, 8, 16, 32, 64):
+        ivf.nprobe = nprobe
+        res = ivf.search(queries, k)  # compile+run
+        t0 = _t.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            res = ivf.search(queries, k)
+        dt = (_t.perf_counter() - t0) / iters
+        recall = float(np.mean([
+            len(set(a) & set(b)) / k for a, b in zip(truth.ids, res.ids)]))
+        sweep[nprobe] = {"ms": round(dt * 1000, 2),
+                         "qps": round(qbatch / dt, 1),
+                         "recall_at_10": round(recall, 4)}
+    print(json.dumps({"config": args.config, "n": n, "d": d,
+                      "nlist": ivf.nlist, "build_seconds": round(build_s, 1),
+                      "nprobe_sweep": sweep}))
 
 
 def main() -> None:
@@ -56,6 +99,10 @@ def main() -> None:
     dtype_bytes = 1 if dtype == "int8" else 2
     bn = default_block_n(d, dtype_bytes, 4096)
     n_pad = -(-n // bn) * bn
+
+    if args.config.startswith("ivf"):
+        _run_ivf(n, d, k, qbatch, args)
+        return
 
     # ---- on-device data generation (chunked to bound peak memory)
     chunk = 1_000_000
