@@ -61,6 +61,7 @@ class Config:
     # --- TPU index engine ---
     index_dtype: str = "bfloat16"       # bfloat16 | float32 | int8
     index_kind: str = "flat"            # flat | ivf
+    index_search_mode: str = "exact"    # exact | bucketed (approx, faster at scale)
     block_n: int = 2048                 # db rows per Pallas tile
     ivf_nlist: int = 0                  # 0 = auto (~sqrt(N))
     ivf_nprobe: int = 8
@@ -128,6 +129,7 @@ def config_from_env(dotenv: str | None = None) -> Config:
         model_priority=_split_csv(env_str("MODEL_PRIORITY", ",".join(d.model_priority))) or d.model_priority,
         index_dtype=env_str("INDEX_DTYPE", d.index_dtype),
         index_kind=env_str("INDEX_KIND", d.index_kind),
+        index_search_mode=env_str("INDEX_SEARCH_MODE", d.index_search_mode),
         block_n=env_int("INDEX_BLOCK_N", d.block_n),
         ivf_nlist=env_int("IVF_NLIST", d.ivf_nlist),
         ivf_nprobe=env_int("IVF_NPROBE", d.ivf_nprobe),

@@ -124,7 +124,8 @@ class RagEngine:
             except Exception as e:
                 logger.warning("index load failed (%s); creating empty", e)
         cfg = self.config
-        kw = dict(dtype=cfg.index_dtype, use_pallas=cfg.use_pallas, block_n=cfg.block_n)
+        kw = dict(dtype=cfg.index_dtype, use_pallas=cfg.use_pallas, block_n=cfg.block_n,
+                  search_mode=cfg.index_search_mode)
         if cfg.index_kind == "ivf":
             return IVFIndex(self.encoder.dim, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, **kw)
         return FlatIndex(self.encoder.dim, **kw)

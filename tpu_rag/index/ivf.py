@@ -67,6 +67,7 @@ class IVFIndex(FlatIndex):
         metric: str = "cosine",
         use_pallas: bool = True,
         block_n: int = 2048,
+        search_mode: str = "exact",
         nlist: int = 0,
         nprobe: int = 8,
         kmeans_iters: int = 15,
@@ -78,7 +79,8 @@ class IVFIndex(FlatIndex):
         most cap = factor * (n/nlist) rows; rows beyond the cap spill into
         the exact overflow buffer.  Keeps HBM use predictable at 10M+ scale
         (a max-sized cap can be several x the mean on skewed data)."""
-        super().__init__(dim, dtype=dtype, metric=metric, use_pallas=use_pallas, block_n=block_n)
+        super().__init__(dim, dtype=dtype, metric=metric, use_pallas=use_pallas,
+                         block_n=block_n, search_mode=search_mode)
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
