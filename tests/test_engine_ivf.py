@@ -70,3 +70,20 @@ def test_engine_int8_pallas_interpret(tmp_path):
     engine.index.add([f"v{i}" for i in range(50)], vecs)
     res = engine.index.search(vecs[7], 1)
     assert res.ids[0][0] == "v7"
+
+
+def test_engine_mesh_shape_sharded_index(tmp_path):
+    """MESH_SHAPE shards the corpus over the device mesh end-to-end."""
+    from tpu_rag.parallel.sharded import ShardedFlatIndex
+
+    engine = _engine(tmp_path, mesh_shape="data:8", index_dtype="float32")
+    assert isinstance(engine.index, ShardedFlatIndex)
+    client = TestClient(create_app(engine=engine))
+    for i in range(10):
+        client.post("/docs/save", json={"title": f"T{i}", "content": f"delta item {i} text"})
+    r = client.post("/search", json={"query": "delta item 4 text", "k": 3})
+    assert len(r.json()["hits"]) == 3
+    # reload from the persisted store keeps the sharded class
+    engine2 = _engine(tmp_path, mesh_shape="data:8", index_dtype="float32")
+    assert isinstance(engine2.index, ShardedFlatIndex)
+    assert engine2.index.count() == 10

@@ -69,17 +69,33 @@ class RagEngine:
 
     # ------------------------------------------------------------ components
 
+    def _mesh(self):
+        """Device mesh from MESH_SHAPE config (None when unset/single-device)."""
+        if not self.config.mesh_shape:
+            return None
+        if getattr(self, "_mesh_cache", None) is None:
+            import jax
+
+            from tpu_rag.parallel.mesh import mesh_from_spec
+            if jax.device_count() < 2:
+                self._mesh_cache = False  # nothing to shard over
+            else:
+                self._mesh_cache = mesh_from_spec(self.config.mesh_shape)
+        return self._mesh_cache or None
+
     @property
     def encoder(self):
         if self._encoder is None:
             from tpu_rag.models import BiEncoder
             cfg = self.config
+            mesh = self._mesh()
             self._encoder = BiEncoder(
                 cfg.embedding_model,
                 weights_path=cfg.embedding_weights,
                 tokenizer_path=cfg.tokenizer_path,
                 seq_len=cfg.embed_seq_len,
                 batch=cfg.embed_batch,
+                mesh=mesh if (mesh is not None and "data" in mesh.shape) else None,
             )
         return self._encoder
 
@@ -119,8 +135,17 @@ class RagEngine:
         p = self._index_path()
         if (p / MANIFEST).is_file():
             try:
-                return load_index(p, use_pallas=self.config.use_pallas,
-                                  block_n=self.config.block_n)
+                loaded = load_index(p, use_pallas=self.config.use_pallas,
+                                    block_n=self.config.block_n)
+                mesh = self._mesh()
+                if (isinstance(loaded, FlatIndex) and not isinstance(loaded, IVFIndex)
+                        and mesh is not None and "data" in mesh.shape
+                        and mesh.shape["data"] > 1):
+                    from tpu_rag.parallel.sharded import ShardedFlatIndex
+                    loaded = ShardedFlatIndex.from_state(
+                        loaded.state(), mesh=mesh,
+                        use_pallas=self.config.use_pallas, block_n=self.config.block_n)
+                return loaded
             except Exception as e:
                 logger.warning("index load failed (%s); creating empty", e)
         cfg = self.config
@@ -128,6 +153,11 @@ class RagEngine:
                   search_mode=cfg.index_search_mode)
         if cfg.index_kind == "ivf":
             return IVFIndex(self.encoder.dim, nlist=cfg.ivf_nlist, nprobe=cfg.ivf_nprobe, **kw)
+        mesh = self._mesh()
+        if mesh is not None and "data" in mesh.shape and mesh.shape["data"] > 1:
+            from tpu_rag.parallel.sharded import ShardedFlatIndex
+            kw.pop("search_mode", None)  # sharded path is always exact per shard
+            return ShardedFlatIndex(self.encoder.dim, mesh=mesh, **kw)
         return FlatIndex(self.encoder.dim, **kw)
 
     def persist_index(self) -> None:
