@@ -39,10 +39,19 @@ def _run_ivf(n, d, k, qbatch, args) -> None:
 
     from tpu_rag.index import FlatIndex, IVFIndex
 
+    # Clustered (mixture-of-Gaussians) data: uniform random high-dim vectors
+    # have no cluster structure, which makes IVF recall trivially
+    # nprobe/nlist; real embedding corpora cluster, so the benchmark models
+    # that: n_centers centers, sigma controls cluster tightness.
     rng = np.random.default_rng(0)
-    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    n_centers = 4096
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    assign0 = rng.integers(0, n_centers, n)
+    vecs = centers[assign0] + 0.35 * rng.standard_normal((n, d)).astype(np.float32)
     ids = [str(i) for i in range(n)]
-    queries = rng.standard_normal((qbatch, d)).astype(np.float32)
+    # queries: near random corpus points (the realistic retrieval regime)
+    probe_rows = rng.integers(0, n, qbatch)
+    queries = vecs[probe_rows] + 0.2 * rng.standard_normal((qbatch, d)).astype(np.float32)
 
     exact = FlatIndex(d, dtype="bfloat16", use_pallas=False)
     exact.add(ids, vecs)
