@@ -13,7 +13,6 @@ only needs self-consistency, and this image has no pretrained weights).
 
 from __future__ import annotations
 
-import functools
 import hashlib
 
 import numpy as np

@@ -14,7 +14,6 @@ id regardless of device count.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import numpy as np
