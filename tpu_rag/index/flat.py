@@ -83,6 +83,7 @@ class FlatIndex:
         self._device: dict[str, Any] | None = None  # lazily built snapshot
         self._dirty = True
         self._wants_cache: dict[tuple[int, int], Any] = {}  # device arrays
+        self._xla_fn_cache: dict[int, Any] = {}  # jitted XLA search per k
         # guards host-side state across concurrent requests (the reference
         # had unguarded shared mutable state — SURVEY.md §5 race detection)
         self._lock = threading.RLock()
@@ -262,12 +263,18 @@ class FlatIndex:
                 mode=self.search_mode,
             )
         else:
-            sc, idx = topk_xla_reference(
-                qj, snap["vectors"], k,
-                db_scales=snap["scales"],
-                ns_tags=snap["ns"], canon_tags=snap["canon"],
-                want_ns=want_ns, want_canon=want_canon,
-            )
+            import jax
+
+            fn = self._xla_fn_cache.get(k)
+            if fn is None:
+                fn = jax.jit(lambda q, x, s, ns, canon, w: topk_xla_reference(
+                    q, x, k, db_scales=s, ns_tags=ns, canon_tags=canon,
+                    want_ns=w[0, 0], want_canon=w[0, 1]))
+                self._xla_fn_cache[k] = fn
+            sc, idx = fn(qj, snap["vectors"],
+                         snap["scales"] if snap["scales"] is not None
+                         else jnp.ones((snap["vectors"].shape[0],), jnp.float32),
+                         snap["ns"], snap["canon"], wants)
         return self._to_result(np.asarray(sc), np.asarray(idx), snap)
 
     def _to_result(self, sc: np.ndarray, idx: np.ndarray, snap: dict[str, Any]) -> SearchResult:

@@ -88,6 +88,7 @@ class IVFIndex(FlatIndex):
         self.list_cap_factor = list_cap_factor
         self.seed = seed
         self._main_rows: np.ndarray = np.zeros((0,), np.int64)  # host rows in IVF lists
+        self._ov_fn_cache: dict[int, Any] = {}  # jitted overflow search per k
 
     # ------------------------------------------------------------- build
 
@@ -223,11 +224,18 @@ class IVFIndex(FlatIndex):
             cand_sc.append(np.asarray(sc))
             cand_live.append(np.asarray(rows))
         if len(snap["ov_rows"]):
-            sc, idx = topk_xla_reference(
-                qj, snap["ov_vectors"], min(k, len(snap["ov_rows"])),
-                ns_tags=snap["ov_ns"], canon_tags=snap["ov_canon"],
-                want_ns=want_ns, want_canon=want_canon,
-            )
+            # jitted (eager jnp here would cost one dispatch round-trip per
+            # op — dominates latency on tunneled backends)
+            k_ov = min(k, len(snap["ov_rows"]))
+            ov_fn = self._ov_fn_cache.get(k_ov)
+            if ov_fn is None:
+                ov_fn = jax.jit(lambda q, x, ns, canon, w: topk_xla_reference(
+                    q, x, k_ov, ns_tags=ns, canon_tags=canon,
+                    want_ns=w[0], want_canon=w[1]))
+                self._ov_fn_cache[k_ov] = ov_fn
+            wants_arr = jnp.array([want_ns, want_canon], jnp.int32)
+            sc, idx = ov_fn(qj, snap["ov_vectors"], snap["ov_ns"],
+                            snap["ov_canon"], wants_arr)
             idx = np.asarray(idx)
             # map overflow-local index -> live-row position
             live_pos = {r: p for p, r in enumerate(live)}
