@@ -15,7 +15,6 @@ exceeds `rebuild_ratio` of the main partition.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import numpy as np
@@ -29,9 +28,8 @@ from tpu_rag.ops.quant import quantize_int8_rows
 from tpu_rag.ops.topk import PAD_TAG, topk_xla_reference
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
-def _ivf_probe(q, centroids, vec_lists, scale_lists, ns_lists, canon_lists,
-               row_lists, wants, *, nprobe: int, k: int):
+def _probe_impl(q, centroids, vec_lists, scale_lists, ns_lists, canon_lists,
+                row_lists, wants, *, nprobe: int, k: int):
     """q: (Q, d) f32. Returns (scores (Q, k), rows (Q, k) int32 into live-row space)."""
     sims_c = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
     _, lists = jax.lax.top_k(sims_c, nprobe)                    # (Q, nprobe)
@@ -54,6 +52,9 @@ def _ivf_probe(q, centroids, vec_lists, scale_lists, ns_lists, canon_lists,
     top_rows = jnp.take_along_axis(flat_rows, pos, axis=1)
     top_rows = jnp.where(jnp.isneginf(top_sc), -1, top_rows)
     return top_sc, top_rows
+
+
+_ivf_probe = jax.jit(_probe_impl, static_argnames=("nprobe", "k"))
 
 
 class IVFIndex(FlatIndex):
@@ -173,13 +174,19 @@ class IVFIndex(FlatIndex):
         else:
             snap["nlist"] = 0
 
-        # Overflow (recently added) rows searched exactly.
+        # Overflow (recently added / cap-spilled) rows searched exactly.
         ov_rows = live[overflow_mask]
         snap["ov_rows"] = ov_rows
         if len(ov_rows):
             snap["ov_vectors"] = jnp.asarray(self._vectors[ov_rows], jnp.float32)
             snap["ov_ns"] = jnp.asarray(self._ns[ov_rows])
             snap["ov_canon"] = jnp.asarray(self._canon[ov_rows])
+            # overflow-local index -> live-row position, resident on device
+            live_pos = np.full(int(live.max()) + 1 if len(live) else 1, -1, np.int64)
+            live_pos[live] = np.arange(len(live))
+            snap["ov_live"] = jnp.asarray(live_pos[ov_rows].astype(np.int32))
+        # search functions are snapshot-shape-specific
+        self._ov_fn_cache.clear()
         return snap
 
     # ------------------------------------------------------------- search
@@ -209,45 +216,62 @@ class IVFIndex(FlatIndex):
 
         snap = self.device_snapshot()
         qj = jnp.asarray(queries)
-        live = snap["rows"]
+        # one fused jitted call: probe + overflow + merge all on device
+        # (per-call host<->device transfers cost a full RTT on tunneled
+        # backends; this path does exactly one upload and two readbacks)
+        wants = self._wants_cache.get((want_ns, want_canon))
+        if wants is None:
+            wants = jnp.array([[want_ns, want_canon]], jnp.int32)
+            self._wants_cache[(want_ns, want_canon)] = wants
+        nprobe = min(self.nprobe, snap["nlist"]) if snap["nlist"] > 0 else 0
+        have_main = snap["nlist"] > 0
+        have_ov = len(snap["ov_rows"]) > 0
+        key = (k, nprobe, have_main, have_ov,
+               snap["nlist"], len(snap["ov_rows"]))
+        fn = self._ov_fn_cache.get(key)
+        if fn is None:
+            fn = self._build_search_fn(k, nprobe, have_main, have_ov)
+            self._ov_fn_cache[key] = fn
+        args = [qj, wants]
+        if have_main:
+            args += [snap["centroids"], snap["vec_lists"], snap["scale_lists"],
+                     snap["ns_lists"], snap["canon_lists"], snap["row_lists"]]
+        if have_ov:
+            args += [snap["ov_vectors"], snap["ov_ns"], snap["ov_canon"],
+                     snap["ov_live"]]
+        sc, rows = fn(*args)
+        return self._to_result(np.asarray(sc), np.asarray(rows), snap)
 
-        cand_sc: list[np.ndarray] = []
-        cand_live: list[np.ndarray] = []
-        if snap["nlist"] > 0:
-            nprobe = min(self.nprobe, snap["nlist"])
-            wants = jnp.array([want_ns, want_canon], jnp.int32)
-            sc, rows = _ivf_probe(
-                qj, snap["centroids"], snap["vec_lists"], snap["scale_lists"],
-                snap["ns_lists"], snap["canon_lists"], snap["row_lists"], wants,
-                nprobe=nprobe, k=min(k, snap["nlist"] * snap["vec_lists"].shape[1]),
-            )
-            cand_sc.append(np.asarray(sc))
-            cand_live.append(np.asarray(rows))
-        if len(snap["ov_rows"]):
-            # jitted (eager jnp here would cost one dispatch round-trip per
-            # op — dominates latency on tunneled backends)
-            k_ov = min(k, len(snap["ov_rows"]))
-            ov_fn = self._ov_fn_cache.get(k_ov)
-            if ov_fn is None:
-                ov_fn = jax.jit(lambda q, x, ns, canon, w: topk_xla_reference(
-                    q, x, k_ov, ns_tags=ns, canon_tags=canon,
-                    want_ns=w[0], want_canon=w[1]))
-                self._ov_fn_cache[k_ov] = ov_fn
-            wants_arr = jnp.array([want_ns, want_canon], jnp.int32)
-            sc, idx = ov_fn(qj, snap["ov_vectors"], snap["ov_ns"],
-                            snap["ov_canon"], wants_arr)
-            idx = np.asarray(idx)
-            # map overflow-local index -> live-row position
-            live_pos = {r: p for p, r in enumerate(live)}
-            ov_live = np.array([live_pos[r] for r in snap["ov_rows"]], np.int64)
-            mapped = np.where(idx >= 0, ov_live[np.clip(idx, 0, None)], -1)
-            cand_sc.append(np.asarray(sc))
-            cand_live.append(mapped)
+    def _build_search_fn(self, k: int, nprobe: int, have_main: bool, have_ov: bool):
+        """Fused device-side probe + exact-overflow + merge, jitted."""
 
-        # Host merge of the (tiny) candidate sets.
-        all_sc = np.concatenate(cand_sc, axis=1)
-        all_rows = np.concatenate(cand_live, axis=1)
-        order = np.argsort(-all_sc, axis=1, kind="stable")[:, :k]
-        merged_sc = np.take_along_axis(all_sc, order, axis=1)
-        merged_rows = np.take_along_axis(all_rows, order, axis=1)
-        return self._to_result(merged_sc, merged_rows.astype(np.int32), snap)
+        def run(q, wants, *rest):
+            i = 0
+            parts_sc, parts_rows = [], []
+            if have_main:
+                centroids, vec_lists, scale_lists, ns_lists, canon_lists, row_lists = rest[:6]
+                i = 6
+                cap = vec_lists.shape[1]
+                k_main = min(k, nprobe * cap)
+                sc1, rows1 = _probe_impl(
+                    q, centroids, vec_lists, scale_lists, ns_lists,
+                    canon_lists, row_lists, wants[0], nprobe=nprobe, k=k_main)
+                parts_sc.append(sc1)
+                parts_rows.append(rows1)
+            if have_ov:
+                ov_vec, ov_ns, ov_canon, ov_live = rest[i:i + 4]
+                k_ov = min(k, ov_vec.shape[0])
+                sc2, idx2 = topk_xla_reference(
+                    q, ov_vec, k_ov, ns_tags=ov_ns, canon_tags=ov_canon,
+                    want_ns=wants[0, 0], want_canon=wants[0, 1])
+                rows2 = jnp.where(idx2 >= 0, ov_live[jnp.clip(idx2, 0, None)], -1)
+                parts_sc.append(sc2)
+                parts_rows.append(rows2)
+            all_sc = jnp.concatenate(parts_sc, axis=1)
+            all_rows = jnp.concatenate(parts_rows, axis=1)
+            k_eff = min(k, all_sc.shape[1])
+            top_sc, pos = jax.lax.top_k(all_sc, k_eff)
+            top_rows = jnp.take_along_axis(all_rows, pos, axis=1)
+            return top_sc, top_rows
+
+        return jax.jit(run)
