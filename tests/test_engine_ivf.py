@@ -65,6 +65,7 @@ def test_engine_int8_pallas_interpret(tmp_path):
     """int8 through the Pallas kernel (interpret mode on CPU)."""
     engine = _engine(tmp_path, index_dtype="int8")
     engine.index.use_pallas = True
+    engine.index.pallas_min_rows = 0  # force the Pallas kernel at tiny n
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((50, 32)).astype(np.float32)
     engine.index.add([f"v{i}" for i in range(50)], vecs)

@@ -68,6 +68,11 @@ class FlatIndex:
         self.use_pallas = use_pallas
         self.block_n = block_n
         self.search_mode = search_mode
+        # measured on v5e: the XLA-fused path wins below ~2M rows (per-call
+        # dispatch overhead dominates), the Pallas kernel wins above
+        # (630 vs 525 GB/s at 10M). use_pallas=True picks automatically;
+        # set pallas_min_rows=0 to force the Pallas kernel always.
+        self.pallas_min_rows = 2_000_000
 
         self._vectors = np.zeros((0, dim), np.float32)
         self._ids: list[str] = []
@@ -252,7 +257,7 @@ class FlatIndex:
         if wants is None:
             wants = jnp.array([[want_ns, want_canon]], jnp.int32)
             self._wants_cache[(want_ns, want_canon)] = wants
-        if self.use_pallas:
+        if self.use_pallas and snap["n_pad"] >= self.pallas_min_rows:
             sc, idx = fused_matmul_topk(
                 qj, snap["vectors"], k,
                 db_scales=snap["scales"],
