@@ -115,59 +115,52 @@ class IVFIndex(FlatIndex):
             self._main_rows = live.astype(np.int64)
 
         if len(main_rows) > 0:
-            vecs = self._vectors[main_rows].astype(np.float32)
+            from tpu_rag.ops.ivf_build import group_lists
+
+            # single corpus upload: k-means and grouping share this array
+            x_dev = jnp.asarray(self._vectors[main_rows].astype(np.float32))
             nlist = self._auto_nlist(len(main_rows))
-            centroids, assign = kmeans(vecs, nlist, iters=self.kmeans_iters, seed=self.seed)
+            centroids, assign = kmeans(x_dev, nlist, iters=self.kmeans_iters, seed=self.seed)
             nlist = centroids.shape[0]
             counts = np.bincount(assign, minlength=nlist)
             mean_count = max(1.0, len(main_rows) / nlist)
             cap = int(min(counts.max(), max(8, self.list_cap_factor * mean_count)))
             cap = max(8, -(-cap // 8) * 8)
 
-            # vectorized grouping: stable-sort rows by cluster, compute each
-            # row's slot (rank within its cluster); rows with slot >= cap
-            # spill to the exact overflow buffer
-            order = np.argsort(assign, kind="stable")
-            sorted_assign = assign[order]
-            starts = np.searchsorted(sorted_assign, np.arange(nlist))
-            slots = np.arange(len(order)) - starts[sorted_assign]
-            fits = slots < cap
-            sel = order[fits]                       # indices into main_rows
-            sel_lists = sorted_assign[fits]
-            sel_slots = slots[fits]
-
             # live-row position for each main row (vectorized lookup)
             live_pos_arr = np.full(int(live.max()) + 1 if len(live) else 1, -1, np.int64)
             live_pos_arr[live] = np.arange(len(live))
 
-            vec_lists = np.zeros((nlist, cap, self.dim), np.float32)
-            scale_lists = np.ones((nlist, cap), np.float32)
-            ns_lists = np.full((nlist, cap), PAD_TAG, np.int32)
-            canon_lists = np.full((nlist, cap), PAD_TAG, np.int32)
-            row_lists = np.full((nlist, cap), -1, np.int32)
-            sel_rows = main_rows[sel]
-            vec_lists[sel_lists, sel_slots] = vecs[sel]
-            ns_lists[sel_lists, sel_slots] = self._ns[sel_rows]
-            canon_lists[sel_lists, sel_slots] = self._canon[sel_rows]
-            row_lists[sel_lists, sel_slots] = live_pos_arr[sel_rows]
+            # grouping happens on device (tpu_rag/ops/ivf_build.py); only the
+            # small tag/row arrays and the fits mask cross the host boundary
+            vec_lists, ns_lists, canon_lists, row_lists, order, fits = group_lists(
+                x_dev,
+                jnp.asarray(self._ns[main_rows]),
+                jnp.asarray(self._canon[main_rows]),
+                jnp.asarray(live_pos_arr[main_rows].astype(np.int32)),
+                jnp.asarray(assign),
+                nlist=nlist, cap=cap,
+            )
 
-            # spilled rows leave the IVF partition; overflow handles them
-            in_lists_rows = sel_rows
+            fits_np = np.asarray(fits)
+            order_np = np.asarray(order)
+            in_lists_rows = main_rows[order_np[fits_np]]
             if len(in_lists_rows) < len(main_rows):
+                # spilled rows leave the IVF partition; overflow handles them
                 self._main_rows = np.sort(in_lists_rows).astype(np.int64)
+
             if self.dtype == "int8":
-                flat = vec_lists.reshape(-1, self.dim)
-                vals, scales = quantize_int8_rows(jnp.asarray(flat))
-                snap["vec_lists"] = jnp.asarray(vals).reshape(nlist, cap, self.dim)
-                snap["scale_lists"] = jnp.asarray(scales).reshape(nlist, cap)
+                vals, scales = quantize_int8_rows(vec_lists.reshape(-1, self.dim))
+                snap["vec_lists"] = vals.reshape(nlist, cap, self.dim)
+                snap["scale_lists"] = scales.reshape(nlist, cap)
             else:
                 jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-                snap["vec_lists"] = jnp.asarray(vec_lists, dtype=jdt)
-                snap["scale_lists"] = jnp.asarray(scale_lists)
+                snap["vec_lists"] = vec_lists.astype(jdt)
+                snap["scale_lists"] = jnp.ones((nlist, cap), jnp.float32)
             snap["centroids"] = jnp.asarray(centroids)
-            snap["ns_lists"] = jnp.asarray(ns_lists)
-            snap["canon_lists"] = jnp.asarray(canon_lists)
-            snap["row_lists"] = jnp.asarray(row_lists)
+            snap["ns_lists"] = ns_lists
+            snap["canon_lists"] = canon_lists
+            snap["row_lists"] = row_lists
             snap["nlist"] = nlist
             # only rows actually placed in lists leave the overflow set
             overflow_mask[np.isin(live, in_lists_rows)] = False
