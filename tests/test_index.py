@@ -232,3 +232,57 @@ def test_ivf_list_cap_spill_preserves_recall():
         flat = FlatIndex(32, dtype="float32", use_pallas=False)
         flat.add(ids, vecs)
         assert res.ids[0] == flat.search(probe, 1).ids[0]
+
+
+def test_group_lists_device_grouping():
+    """ops/ivf_build.group_lists: every row lands in its cluster at a unique
+    slot, or is reported as spill."""
+    import jax.numpy as jnp
+
+    from tpu_rag.ops.ivf_build import group_lists
+    from tpu_rag.ops.topk import PAD_TAG
+
+    rng = np.random.default_rng(0)
+    n, d, nlist, cap = 200, 8, 4, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    assign = rng.integers(0, nlist, n).astype(np.int32)
+    ns = np.arange(n, dtype=np.int32)
+    rows = np.arange(n, dtype=np.int32)
+
+    vec_lists, ns_lists, canon_lists, row_lists, order, fits = group_lists(
+        jnp.asarray(x), jnp.asarray(ns), jnp.asarray(ns), jnp.asarray(rows),
+        jnp.asarray(assign), nlist=nlist, cap=cap)
+
+    row_lists = np.asarray(row_lists)
+    vec_lists = np.asarray(vec_lists)
+    placed = row_lists[row_lists >= 0]
+    spilled = np.asarray(order)[~np.asarray(fits)]
+    assert len(placed) + len(spilled) == n
+    assert len(set(placed.tolist())) == len(placed)  # unique slots
+    # each placed row is in the list matching its assignment, with its vector
+    for li in range(nlist):
+        for si in range(cap):
+            r = row_lists[li, si]
+            if r >= 0:
+                assert assign[r] == li
+                np.testing.assert_allclose(vec_lists[li, si], x[r], rtol=1e-6)
+            else:
+                assert np.asarray(ns_lists)[li, si] == PAD_TAG
+
+
+def test_group_lists_spill_when_capped():
+    import jax.numpy as jnp
+
+    from tpu_rag.ops.ivf_build import group_lists
+
+    n, d, nlist, cap = 100, 4, 2, 16
+    x = np.ones((n, d), np.float32)
+    assign = np.zeros(n, np.int32)  # everything in cluster 0
+    z = np.zeros(n, np.int32)
+    _, _, _, row_lists, order, fits = group_lists(
+        jnp.asarray(x), jnp.asarray(z), jnp.asarray(z),
+        jnp.asarray(np.arange(n, dtype=np.int32)), jnp.asarray(assign),
+        nlist=nlist, cap=cap)
+    assert int(np.asarray(fits).sum()) == cap  # only cap rows fit
+    assert (np.asarray(row_lists)[0] >= 0).sum() == cap
+    assert (np.asarray(row_lists)[1] >= 0).sum() == 0
