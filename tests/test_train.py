@@ -70,3 +70,23 @@ def test_graft_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_train_save_load_roundtrip(tmp_path):
+    """trainer.save -> BiEncoder(weights_path=ckpt) restores the params."""
+    spec = BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128, max_len=64)
+    mesh = _mesh(1, 1)
+    trainer = ContrastiveTrainer(spec, mesh, lr=1e-4)
+    rng = np.random.default_rng(0)
+    trainer.train_step(_batch(rng, 4, 16))
+    ckpt = tmp_path / "ckpt"
+    trainer.save(str(ckpt))
+
+    from tpu_rag.models.biencoder import BiEncoder
+
+    enc = BiEncoder(spec=spec, weights_path=str(ckpt), seq_len=32, batch=8)
+    trained_emb = np.asarray(trainer.params["word_embeddings"]["embedding"])
+    loaded_emb = np.asarray(enc.params["word_embeddings"]["embedding"])
+    np.testing.assert_allclose(loaded_emb, trained_emb, atol=1e-6)
+    out = enc.embed(["hello world"])
+    assert out.shape == (1, 64)

@@ -48,6 +48,20 @@ def _seed_from_name(name: str) -> int:
     return int.from_bytes(hashlib.blake2b(name.encode(), digest_size=4).digest(), "little")
 
 
+def _load_orbax_params(path: str):
+    """Restore a param tree saved by ContrastiveTrainer.save (orbax)."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    except Exception:
+        return None
+
+
 class BiEncoder:
     def __init__(
         self,
@@ -88,6 +102,11 @@ class BiEncoder:
 
     def _init_params(self, weights_path: str):
         if weights_path:
+            # orbax checkpoint (produced by scripts/train_biencoder.py)
+            params = _load_orbax_params(weights_path)
+            if params is not None:
+                return params
+            # HF torch/safetensors checkpoint
             from tpu_rag.models.hf_import import load_bert_params
             params = load_bert_params(weights_path, self.spec)
             if params is not None:

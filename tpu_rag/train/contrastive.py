@@ -114,6 +114,7 @@ class ContrastiveTrainer:
 
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(path, jax.device_get(self.params), force=True)
+        ckpt.wait_until_finished()  # StandardCheckpointer saves asynchronously
 
     def load(self, path: str) -> None:
         import orbax.checkpoint as ocp
