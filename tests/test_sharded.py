@@ -81,3 +81,20 @@ def test_sharded_int8():
     got = sharded8.search(q, 10)
     recalls = [len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, got.ids)]
     assert np.mean(recalls) >= 0.9  # int8 quantization tolerance
+
+
+def test_sharded_bucketed_mode():
+    rng = np.random.default_rng(9)
+    n, d = 4000, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    exact = FlatIndex(d, dtype="float32", use_pallas=False)
+    exact.add(ids, vecs)
+    sb = ShardedFlatIndex(d, dtype="float32", use_pallas=True,
+                          mesh=mesh_from_spec("data:8"), search_mode="bucketed")
+    sb.add(ids, vecs)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    truth = exact.search(q, 10)
+    got = sb.search(q, 10)
+    recalls = [len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, got.ids)]
+    assert np.mean(recalls) >= 0.9

@@ -27,7 +27,8 @@ from tpu_rag.ops.quant import quantize_int8_rows
 from tpu_rag.ops.topk import PAD_TAG, fused_matmul_topk, topk_xla_reference
 
 
-def make_sharded_search(mesh: Mesh, *, k: int, use_pallas: bool, axis: str = "data"):
+def make_sharded_search(mesh: Mesh, *, k: int, use_pallas: bool, axis: str = "data",
+                        mode: str = "exact"):
     """Build a jitted sharded search fn for a fixed mesh/k.
 
     Returned fn: (q (Q,d) f32 replicated, x (N,d) row-sharded, scales (N,) or
@@ -40,7 +41,7 @@ def make_sharded_search(mesh: Mesh, *, k: int, use_pallas: bool, axis: str = "da
         if use_pallas:
             sc, idx = fused_matmul_topk(
                 q, x, k, db_scales=scales, ns_tags=ns, canon_tags=canon,
-                want_ns=wants[0], want_canon=wants[1],
+                want_ns=wants[0], want_canon=wants[1], mode=mode,
             )
         else:
             sc, idx = topk_xla_reference(
@@ -141,7 +142,8 @@ class ShardedFlatIndex(FlatIndex):
         snap = self.device_snapshot()
         fn = self._search_fns.get(k)
         if fn is None:
-            fn = make_sharded_search(self._mesh(), k=k, use_pallas=self.use_pallas, axis=self.axis)
+            fn = make_sharded_search(self._mesh(), k=k, use_pallas=self.use_pallas,
+                                     axis=self.axis, mode=self.search_mode)
             self._search_fns[k] = fn
         wants = jnp.array([want_ns, want_canon], jnp.int32)
         sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
