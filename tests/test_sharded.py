@@ -84,8 +84,10 @@ def test_sharded_int8():
 
 
 def test_sharded_bucketed_mode():
+    # bucketed yields one candidate per 128 rows; each shard must hold
+    # >> 128*k rows for top-k recall (documented in ops/topk.py)
     rng = np.random.default_rng(9)
-    n, d = 4000, 128
+    n, d = 32768, 64
     vecs = rng.standard_normal((n, d)).astype(np.float32)
     ids = [f"v{i}" for i in range(n)]
     exact = FlatIndex(d, dtype="float32", use_pallas=False)

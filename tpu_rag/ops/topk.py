@@ -260,6 +260,8 @@ def fused_matmul_topk(
     mode="exact": per-tile exact top-k (k passes) -> exact global top-k.
     mode="bucketed": one-pass per-128-row-bucket maxima -> approximate
       (recall ~>0.99 for k << n/128); much less VPU work per tile.
+      Requires n >> 128*k — with fewer rows there are fewer candidates
+      than k (per-shard n when used under shard_map).
 
     Pass `wants` as a pre-existing (1, 2) int32 DEVICE array to avoid a
     host->device transfer per call (transfers are expensive on tunneled
