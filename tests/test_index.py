@@ -286,3 +286,32 @@ def test_group_lists_spill_when_capped():
     assert int(np.asarray(fits).sum()) == cap  # only cap rows fit
     assert (np.asarray(row_lists)[0] >= 0).sum() == cap
     assert (np.asarray(row_lists)[1] >= 0).sum() == 0
+
+
+def test_ivf_probe_pallas_matches_xla():
+    """Pallas scalar-prefetch probe (interpret mode) == XLA probe."""
+    import jax.numpy as jnp
+
+    from tpu_rag.index.ivf import _probe_impl
+    from tpu_rag.ops.ivf_probe import ivf_probe_pallas
+    from tpu_rag.ops.topk import PAD_TAG
+
+    rng = np.random.default_rng(0)
+    nlist, cap, d, Q, nprobe, k = 16, 64, 128, 4, 4, 5
+    centroids = rng.standard_normal((nlist, d)).astype(np.float32)
+    vec_lists = rng.standard_normal((nlist, cap, d)).astype(np.float32)
+    ns = rng.integers(0, 3, (nlist, cap)).astype(np.int32)
+    ns[:, -8:] = PAD_TAG
+    canon = np.zeros((nlist, cap), np.int32)
+    rows = rng.integers(0, 10_000, (nlist, cap)).astype(np.int32)
+    scales = np.ones((nlist, cap), np.float32)
+    q = rng.standard_normal((Q, d)).astype(np.float32)
+    wants = jnp.array([1, -1], jnp.int32)
+
+    args = (jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(vec_lists),
+            jnp.asarray(scales), jnp.asarray(ns), jnp.asarray(canon),
+            jnp.asarray(rows), wants)
+    sc1, r1 = _probe_impl(*args, nprobe=nprobe, k=k)
+    sc2, r2 = ivf_probe_pallas(*args, nprobe=nprobe, k=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2), atol=1e-4)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
