@@ -24,24 +24,25 @@ from tpu_rag.ops.topk import PAD_TAG
 
 def _probe_kernel(lists_ref, wants_ref, q_ref, vec_ref, scale_ref, ns_ref,
                   canon_ref, out_ref, *, cap: int, is_int8: bool):
-    x = vec_ref[0]                      # (cap, d)
+    qi = pl.program_id(0)
+    x = vec_ref[0]                                  # (cap, d)
     if is_int8:
         x = x.astype(jnp.bfloat16)
-    qv = q_ref[:]                       # (1, d)
+    qv = q_ref[pl.ds(qi, 1), :]                     # (1, d) — this step's query
     s = jax.lax.dot_general(
         x, qv, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).T                                 # (1, cap)
+    ).T                                             # (1, cap)
     if is_int8:
-        s = s * scale_ref[0].reshape(1, cap)
-    ns = ns_ref[0].reshape(1, cap)
-    canon = canon_ref[0].reshape(1, cap)
+        s = s * scale_ref[0]                        # (1, cap)
+    ns = ns_ref[0]                                  # (1, cap)
+    canon = canon_ref[0]                            # (1, cap)
     want_ns = wants_ref[0]
     want_canon = wants_ref[1]
     ok = (ns != PAD_TAG)
     ok &= (want_ns < 0) | (ns == want_ns)
     ok &= (want_canon < 0) | (canon == want_canon)
-    out_ref[0, 0] = jnp.where(ok, s, jnp.float32(-jnp.inf))[0]
+    out_ref[0, 0] = jnp.where(ok, s, jnp.float32(-jnp.inf))
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "interpret"))
@@ -61,32 +62,42 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
     lists_flat = lists.reshape(-1).astype(jnp.int32)   # scalar prefetch
 
     compute_dtype = jnp.bfloat16 if (is_int8 or vec_lists.dtype == jnp.bfloat16) else vec_lists.dtype
-    q_cast = q.astype(compute_dtype)
+    # queries as one full block (TPU block rules: a (1, d) row block is
+    # invalid); each grid step slices its row inside the kernel
+    qn_pad = -(-qn // 8) * 8
+    q_cast = jnp.zeros((qn_pad, d), compute_dtype).at[:qn].set(q.astype(compute_dtype))
+    # singleton middle axis so (1, 1, cap) blocks satisfy the (sublane, lane)
+    # tiling rules (second-to-last block dim == full array dim 1)
+    scale3 = scale_lists.reshape(nlist, 1, cap)
+    ns3 = ns_lists.reshape(nlist, 1, cap)
+    canon3 = canon_lists.reshape(nlist, 1, cap)
 
     kern = functools.partial(_probe_kernel, cap=cap, is_int8=is_int8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # lists_flat, wants
         grid=(qn, nprobe),
         in_specs=[
-            pl.BlockSpec((1, d), lambda qi, pi, lists, wants: (qi, 0)),
+            pl.BlockSpec((qn_pad, d), lambda qi, pi, lists, wants: (0, 0)),
             pl.BlockSpec((1, cap, d),
                          lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0, 0)),
-            pl.BlockSpec((1, cap),
-                         lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0)),
-            pl.BlockSpec((1, cap),
-                         lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0)),
-            pl.BlockSpec((1, cap),
-                         lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0)),
+            pl.BlockSpec((1, 1, cap),
+                         lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0, 0)),
+            pl.BlockSpec((1, 1, cap),
+                         lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0, 0)),
+            pl.BlockSpec((1, 1, cap),
+                         lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, cap), lambda qi, pi, lists, wants: (qi, pi, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, cap),
+                               lambda qi, pi, lists, wants: (qi, pi, 0, 0)),
     )
     scores = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((qn, nprobe, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((qn, nprobe, 1, cap), jnp.float32),
         interpret=interpret,
-    )(lists_flat, wants.astype(jnp.int32), q_cast, vec_lists, scale_lists,
-      ns_lists, canon_lists)
+    )(lists_flat, wants.astype(jnp.int32), q_cast, vec_lists, scale3,
+      ns3, canon3)
+    scores = scores.reshape(qn, nprobe, cap)
 
     flat_scores = scores.reshape(qn, nprobe * cap)
     flat_rows = row_lists[lists].reshape(qn, nprobe * cap)
