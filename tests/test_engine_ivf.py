@@ -88,3 +88,19 @@ def test_engine_mesh_shape_sharded_index(tmp_path):
     engine2 = _engine(tmp_path, mesh_shape="data:8", index_dtype="float32")
     assert isinstance(engine2.index, ShardedFlatIndex)
     assert engine2.index.count() == 10
+
+
+def test_ivf_pallas_probe_path(tmp_path):
+    """IVF with the Pallas probe kernel (interpret mode on CPU) end-to-end."""
+    from tpu_rag.index import FlatIndex, IVFIndex
+
+    rng = np.random.default_rng(3)
+    n, d = 600, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    ivf = IVFIndex(d, dtype="float32", nlist=8, nprobe=8, use_pallas=True)
+    ivf.add(ids, vecs)
+    flat = FlatIndex(d, dtype="float32", use_pallas=False)
+    flat.add(ids, vecs)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    assert ivf.search(q, 5).ids == flat.search(q, 5).ids  # full probe = exact

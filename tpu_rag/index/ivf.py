@@ -238,6 +238,9 @@ class IVFIndex(FlatIndex):
     def _build_search_fn(self, k: int, nprobe: int, have_main: bool, have_ov: bool):
         """Fused device-side probe + exact-overflow + merge, jitted."""
 
+        use_pallas_probe = self.use_pallas
+        interpret = jax.default_backend() != "tpu"
+
         def run(q, wants, *rest):
             i = 0
             parts_sc, parts_rows = [], []
@@ -246,9 +249,16 @@ class IVFIndex(FlatIndex):
                 i = 6
                 cap = vec_lists.shape[1]
                 k_main = min(k, nprobe * cap)
-                sc1, rows1 = _probe_impl(
-                    q, centroids, vec_lists, scale_lists, ns_lists,
-                    canon_lists, row_lists, wants[0], nprobe=nprobe, k=k_main)
+                if use_pallas_probe:
+                    from tpu_rag.ops.ivf_probe import ivf_probe_pallas
+                    sc1, rows1 = ivf_probe_pallas(
+                        q, centroids, vec_lists, scale_lists, ns_lists,
+                        canon_lists, row_lists, wants[0], nprobe=nprobe,
+                        k=k_main, interpret=interpret)
+                else:
+                    sc1, rows1 = _probe_impl(
+                        q, centroids, vec_lists, scale_lists, ns_lists,
+                        canon_lists, row_lists, wants[0], nprobe=nprobe, k=k_main)
                 parts_sc.append(sc1)
                 parts_rows.append(rows1)
             if have_ov:

@@ -24,11 +24,10 @@ from tpu_rag.ops.topk import PAD_TAG
 
 def _probe_kernel(lists_ref, wants_ref, q_ref, vec_ref, scale_ref, ns_ref,
                   canon_ref, out_ref, *, cap: int, is_int8: bool):
-    qi = pl.program_id(0)
-    x = vec_ref[0]                                  # (cap, d)
-    if is_int8:
-        x = x.astype(jnp.bfloat16)
-    qv = q_ref[pl.ds(qi, 1), :]                     # (1, d) — this step's query
+    # f32 operands: Mosaic rejects bf16 matvec with f32 accumulation here
+    # (vector.broadcast verification error); the upcast happens in VMEM
+    x = vec_ref[0].astype(jnp.float32)              # (cap, d)
+    qv = q_ref[0].astype(jnp.float32)               # (1, d) — this step's query
     s = jax.lax.dot_general(
         x, qv, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -62,10 +61,9 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
     lists_flat = lists.reshape(-1).astype(jnp.int32)   # scalar prefetch
 
     compute_dtype = jnp.bfloat16 if (is_int8 or vec_lists.dtype == jnp.bfloat16) else vec_lists.dtype
-    # queries as one full block (TPU block rules: a (1, d) row block is
-    # invalid); each grid step slices its row inside the kernel
-    qn_pad = -(-qn // 8) * 8
-    q_cast = jnp.zeros((qn_pad, d), compute_dtype).at[:qn].set(q.astype(compute_dtype))
+    # singleton middle axis: (1, 1, d) query blocks indexed by the grid
+    # (dynamic in-kernel row slices can't be proven sublane-aligned)
+    q3 = q.astype(compute_dtype).reshape(qn, 1, d)
     # singleton middle axis so (1, 1, cap) blocks satisfy the (sublane, lane)
     # tiling rules (second-to-last block dim == full array dim 1)
     scale3 = scale_lists.reshape(nlist, 1, cap)
@@ -77,7 +75,7 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
         num_scalar_prefetch=2,   # lists_flat, wants
         grid=(qn, nprobe),
         in_specs=[
-            pl.BlockSpec((qn_pad, d), lambda qi, pi, lists, wants: (0, 0)),
+            pl.BlockSpec((1, 1, d), lambda qi, pi, lists, wants: (qi, 0, 0)),
             pl.BlockSpec((1, cap, d),
                          lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0, 0)),
             pl.BlockSpec((1, 1, cap),
@@ -95,7 +93,7 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((qn, nprobe, 1, cap), jnp.float32),
         interpret=interpret,
-    )(lists_flat, wants.astype(jnp.int32), q_cast, vec_lists, scale3,
+    )(lists_flat, wants.astype(jnp.int32), q3, vec_lists, scale3,
       ns3, canon3)
     scores = scores.reshape(qn, nprobe, cap)
 
