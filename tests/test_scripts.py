@@ -96,3 +96,23 @@ def test_import_chat_history_jsonl(tmp_path):
     p.write_text('{"role": "user", "content": "q1"}\n{"role": "assistant", "content": "a1"}\n')
     convs = load_conversations(str(p))
     assert conversation_to_pairs(convs[0]) == [("q1", "a1")]
+
+
+def test_ingest_docs_whole_doc(env, monkeypatch, capsys):
+    import scripts.ingest_docs as ig
+
+    monkeypatch.setattr(sys, "argv", ["ingest_docs.py"])
+    ig.main()
+    out = capsys.readouterr().out
+    assert "Done: 2 docs." in out
+    assert "[ADD] temple" in out
+
+    import scripts.query_local as ql
+
+    monkeypatch.setattr(sys, "argv", ["query_local.py", "silver cliff", "--k", "1", "--json"])
+    ql.main()
+    import json as _json
+
+    data = _json.loads(capsys.readouterr().out)
+    # whole-doc ids (no ::section suffix)
+    assert data["hits"][0]["id"] in ("temple", "dragon")
