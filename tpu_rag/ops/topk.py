@@ -236,6 +236,9 @@ def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
     cand_id = ids[:, :, :k].transpose(1, 0, 2).reshape(qp, nt * k)
     top_sc, pos = jax.lax.top_k(cand_sc, k)
     top_id = jnp.take_along_axis(cand_id, pos, axis=1)
+    # slots with no finite candidate (fewer than k filter matches) get id -1,
+    # consistent with topk_xla_reference and the bucketed mode
+    top_id = jnp.where(jnp.isneginf(top_sc), -1, top_id)
     return top_sc, top_id
 
 
