@@ -53,25 +53,31 @@ def default_block_n(dim: int, dtype_bytes: int, requested: int = 2048) -> int:
 
 
 def _topk_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
-                      sc_ref, id_ref, *, k_eff: int, bn: int, qp: int,
-                      kpad: int, is_int8: bool):
+                      qscale_ref, sc_ref, id_ref, *, k_eff: int, bn: int,
+                      qp: int, kpad: int, is_int8: bool):
     i = pl.program_id(0)
     x = x_ref[:]
-    if is_int8:
-        x = x.astype(jnp.bfloat16)
     # (BN, D) x (QP, D) -> (BN, QP), then transpose. With the tiny query
     # matrix as the MXU-stationary operand the DB tile streams through the
     # systolic array instead of being reloaded as weights — measured ~30%
     # faster than the (QP, D) x (BN, D) orientation at QP=8.
-    scores_t = jax.lax.dot_general(
-        x, q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores_t.T  # (QP, BN)
     if is_int8:
-        # (1, 1, BN) -> (1, BN) broadcast: per-row dequant scale applied to scores
-        scores = scores * scale_ref[:].reshape(1, bn)
+        # native int8 x int8 MXU matmul with int32 accumulation; both
+        # per-row scales are applied to the int32 scores afterwards
+        scores_t = jax.lax.dot_general(
+            x, q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        scores_t = scores_t * qscale_ref[:]                 # (BN, QP) * (1, QP)
+        scores = scores_t.T * scale_ref[:].reshape(1, bn)   # db row scales
+    else:
+        scores_t = jax.lax.dot_general(
+            x, q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores_t.T  # (QP, BN)
 
     ns = ns_ref[:].reshape(1, bn)
     canon = canon_ref[:].reshape(1, bn)
@@ -106,8 +112,8 @@ def _topk_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
 
 
 def _bucketed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
-                          sc_ref, id_ref, *, bn: int, qp: int, nb: int,
-                          is_int8: bool):
+                          qscale_ref, sc_ref, id_ref, *, bn: int, qp: int,
+                          nb: int, is_int8: bool):
     """One-pass approximate variant (TPU-KNN style): per 128-lane bucket,
     keep only the max. The union of bucket maxima misses a true top-k member
     only when two of them land in the same 128-row bucket — rare for
@@ -115,15 +121,20 @@ def _bucketed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     i = pl.program_id(0)
     x = x_ref[:]
     if is_int8:
-        x = x.astype(jnp.bfloat16)
-    scores_t = jax.lax.dot_general(
-        x, q_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    scores = scores_t.T  # (QP, BN)
-    if is_int8:
-        scores = scores * scale_ref[:].reshape(1, bn)
+        scores_t = jax.lax.dot_general(
+            x, q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        scores_t = scores_t * qscale_ref[:]
+        scores = scores_t.T * scale_ref[:].reshape(1, bn)
+    else:
+        scores_t = jax.lax.dot_general(
+            x, q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores_t.T  # (QP, BN)
 
     ns = ns_ref[:].reshape(1, bn)
     canon = canon_ref[:].reshape(1, bn)
@@ -146,8 +157,8 @@ def _bucketed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     jax.jit,
     static_argnames=("k", "is_int8", "interpret", "qp", "nt", "bn"),
 )
-def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
-                          *, k: int, is_int8: bool, interpret: bool,
+def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad,
+                          wants, *, k: int, is_int8: bool, interpret: bool,
                           qp: int, nt: int, bn: int):
     nb = bn // 128
     kern = functools.partial(
@@ -163,6 +174,7 @@ def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, qp, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -178,7 +190,7 @@ def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
         ),
         interpret=interpret,
     )(wants, q_pad, x_pad, ns_pad.reshape(nt, 1, bn), canon_pad.reshape(nt, 1, bn),
-      scale_pad.reshape(nt, 1, bn))
+      scale_pad.reshape(nt, 1, bn), qscale_pad.reshape(1, qp))
     cand_sc = sc.transpose(1, 0, 2).reshape(qp, nt * nb)
     cand_id = ids.transpose(1, 0, 2).reshape(qp, nt * nb)
     top_sc, pos = jax.lax.top_k(cand_sc, k)
@@ -191,8 +203,8 @@ def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
     jax.jit,
     static_argnames=("k", "is_int8", "interpret", "qp", "nt", "bn"),
 )
-def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
-                       *, k: int, is_int8: bool, interpret: bool,
+def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad,
+                       wants, *, k: int, is_int8: bool, interpret: bool,
                        qp: int, nt: int, bn: int):
     kpad = _round_up(max(k, 1), _LANE)
     kern = functools.partial(
@@ -208,6 +220,7 @@ def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, qp, kpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -230,7 +243,7 @@ def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
         cost_estimate=cost,
         interpret=interpret,
     )(wants, q_pad, x_pad, ns_pad.reshape(nt, 1, bn), canon_pad.reshape(nt, 1, bn),
-      scale_pad.reshape(nt, 1, bn))
+      scale_pad.reshape(nt, 1, bn), qscale_pad.reshape(1, qp))
     # Union of per-tile exact top-k -> exact global top-k.
     cand_sc = sc[:, :, :k].transpose(1, 0, 2).reshape(qp, nt * k)
     cand_id = ids[:, :, :k].transpose(1, 0, 2).reshape(qp, nt * k)
@@ -290,11 +303,20 @@ def fused_matmul_topk(
     n_pad = nt * bn
     qp = _round_up(max(q, 8), 8)
 
-    compute_dtype = jnp.bfloat16 if (is_int8 or database.dtype == jnp.bfloat16) else database.dtype
-    if q == qp and queries.dtype == compute_dtype:
-        q_pad = queries
+    if is_int8:
+        # quantize the queries too: int8 x int8 MXU matmul with int32
+        # accumulation, both per-row scales applied to the scores in-kernel
+        from tpu_rag.ops.quant import quantize_int8_rows
+
+        qf = jnp.zeros((qp, d), jnp.float32).at[:q].set(queries.astype(jnp.float32))
+        q_pad, qscale_pad = quantize_int8_rows(qf)
     else:
-        q_pad = jnp.zeros((qp, d), compute_dtype).at[:q].set(queries.astype(compute_dtype))
+        compute_dtype = jnp.bfloat16 if database.dtype == jnp.bfloat16 else database.dtype
+        if q == qp and queries.dtype == compute_dtype:
+            q_pad = queries
+        else:
+            q_pad = jnp.zeros((qp, d), compute_dtype).at[:q].set(queries.astype(compute_dtype))
+        qscale_pad = jnp.ones((qp,), jnp.float32)
 
     if assume_padded:
         # caller guarantees: n % bn == 0, tags/scales are full-length with
@@ -330,7 +352,7 @@ def fused_matmul_topk(
 
     impl = _bucketed_topk_padded if mode == "bucketed" else _fused_topk_padded
     top_sc, top_id = impl(
-        q_pad, x_pad, ns_pad, canon_pad, scale_pad, wants,
+        q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad, wants,
         k=int(k), is_int8=is_int8, interpret=bool(interpret),
         qp=qp, nt=nt, bn=bn,
     )
