@@ -315,3 +315,31 @@ def test_ivf_probe_pallas_matches_xla():
     sc2, r2 = ivf_probe_pallas(*args, nprobe=nprobe, k=k, interpret=True)
     np.testing.assert_allclose(np.asarray(sc1), np.asarray(sc2), atol=1e-4)
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_ivf_centroid_persistence_skips_kmeans(tmp_path, monkeypatch):
+    """Reloading a persisted IVF index reuses the saved centroids (k-means
+    only re-runs when the corpus doubles past what they were trained on)."""
+    ids, vecs, docs, metas = _corpus(n=400, d=32)
+    idx = IVFIndex(32, dtype="float32", nlist=8, nprobe=8, use_pallas=False)
+    idx.add(ids, vecs, docs, metas)
+    idx.device_snapshot()  # build (trains centroids)
+    save_index(idx, tmp_path / "col")
+
+    import tpu_rag.index.ivf as ivf_mod
+
+    calls = []
+    real_kmeans = ivf_mod.kmeans
+    monkeypatch.setattr(ivf_mod, "kmeans",
+                        lambda *a, **k: calls.append(1) or real_kmeans(*a, **k))
+    loaded = load_index(tmp_path / "col", use_pallas=False)
+    assert loaded._cached_centroids is not None
+    res = loaded.search(vecs[42], 1)
+    assert res.ids[0][0] == "doc-42"
+    assert calls == []  # no retraining on reload
+
+    # doubling the corpus triggers a retrain
+    more = np.random.default_rng(1).standard_normal((500, 32)).astype(np.float32)
+    loaded.add([f"extra{i}" for i in range(500)], more)
+    loaded.search(vecs[0], 1)
+    assert calls == [1]

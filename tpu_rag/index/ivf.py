@@ -90,6 +90,8 @@ class IVFIndex(FlatIndex):
         self.seed = seed
         self._main_rows: np.ndarray = np.zeros((0,), np.int64)  # host rows in IVF lists
         self._ov_fn_cache: dict[int, Any] = {}  # jitted overflow search per k
+        self._cached_centroids: np.ndarray | None = None  # persisted / last build
+        self._centroids_trained_n = 0
 
     # ------------------------------------------------------------- build
 
@@ -116,11 +118,27 @@ class IVFIndex(FlatIndex):
 
         if len(main_rows) > 0:
             from tpu_rag.ops.ivf_build import group_lists
+            from tpu_rag.ops.kmeans import assign_clusters
 
             # single corpus upload: k-means and grouping share this array
             x_dev = jnp.asarray(self._vectors[main_rows].astype(np.float32))
-            nlist = self._auto_nlist(len(main_rows))
-            centroids, assign = kmeans(x_dev, nlist, iters=self.kmeans_iters, seed=self.seed)
+            reuse_centroids = (
+                self._cached_centroids is not None
+                and self._cached_centroids.shape[1] == self.dim
+                # retrain when the corpus has grown well past what the
+                # centroids were trained on
+                and len(main_rows) <= 2 * max(1, self._centroids_trained_n)
+            )
+            if reuse_centroids:
+                # persisted / previous centroids: skip k-means, just
+                # re-assign (one pass) — makes reload fast at scale
+                centroids = self._cached_centroids
+                assign = np.asarray(assign_clusters(x_dev, jnp.asarray(centroids)))
+            else:
+                nlist = self._auto_nlist(len(main_rows))
+                centroids, assign = kmeans(x_dev, nlist, iters=self.kmeans_iters, seed=self.seed)
+                self._centroids_trained_n = len(main_rows)
+            self._cached_centroids = centroids
             nlist = centroids.shape[0]
             counts = np.bincount(assign, minlength=nlist)
             mean_count = max(1.0, len(main_rows) / nlist)

@@ -46,6 +46,11 @@ def save_index(index: FlatIndex, path: str | Path) -> None:
     }
     if isinstance(index, IVFIndex):
         manifest["ivf"] = {"nlist": index.nlist, "nprobe": index.nprobe}
+        if index._cached_centroids is not None:
+            index._cached_centroids.astype(np.float32).tofile(p / "centroids.f32")
+            manifest["ivf"]["centroids"] = "centroids.f32"
+            manifest["ivf"]["centroids_shape"] = list(index._cached_centroids.shape)
+            manifest["ivf"]["trained_n"] = int(index._centroids_trained_n)
     vectors.astype(np.float32).tofile(p / "vectors.f32")
     (p / "ids.json").write_text(json.dumps(state["ids"], ensure_ascii=False), encoding="utf-8")
     with open(p / "meta.jsonl", "w", encoding="utf-8") as f:
@@ -83,5 +88,11 @@ def load_index(path: str | Path, **overrides) -> FlatIndex:
         ivf_cfg = manifest.get("ivf", {})
         overrides.setdefault("nlist", ivf_cfg.get("nlist", 0))
         overrides.setdefault("nprobe", ivf_cfg.get("nprobe", 8))
-        return IVFIndex.from_state(state, **overrides)
+        loaded = IVFIndex.from_state(state, **overrides)
+        if "centroids" in ivf_cfg:
+            shape = tuple(ivf_cfg["centroids_shape"])
+            loaded._cached_centroids = np.fromfile(
+                p / ivf_cfg["centroids"], dtype=np.float32).reshape(shape)
+            loaded._centroids_trained_n = int(ivf_cfg.get("trained_n", count))
+        return loaded
     return FlatIndex.from_state(state, **overrides)
