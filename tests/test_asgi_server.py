@@ -111,3 +111,66 @@ async def test_asgi_transport_httpx():
 @pytest.fixture
 def anyio_backend():
     return "asyncio"
+
+
+def test_concurrent_mixed_load_through_server(tmp_path):
+    """8 client threads hammer the real socket server with mixed
+    search/save/compose traffic — no 5xx, consistent state."""
+    import requests as rq
+
+    from tpu_rag.api.app import create_app
+    from tpu_rag.config import Config
+    from tpu_rag.engine import RagEngine
+    from tests.test_api import FakeEncoder, ScriptedBackend, ScriptedDispatcher
+
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"),
+        kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs"),
+        index_dtype="float32", use_pallas=False, summarize_mode="off",
+    )
+    engine = RagEngine(cfg, encoder=FakeEncoder(),
+                       dispatcher=ScriptedDispatcher(ScriptedBackend()))
+    app = create_app(engine=engine)
+
+    sock = socket.socket(); sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]; sock.close()
+    srv = HTTPServer(app, "127.0.0.1", port)
+    threading.Thread(target=srv.run, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            rq.get(base + "/health", timeout=0.5); break
+        except Exception:
+            time.sleep(0.05)
+
+    errors = []
+
+    def worker(t):
+        s = rq.Session()
+        try:
+            for i in range(6):
+                r = s.post(base + "/docs/save", timeout=30, json={
+                    "title": f"Doc {t}-{i}", "content": f"thread {t} item {i} words"})
+                assert r.status_code == 200, r.text
+                r = s.post(base + "/search", timeout=30,
+                           json={"query": f"thread {t} item", "k": 3})
+                assert r.status_code == 200, r.text
+                r = s.post(base + "/compose", timeout=30, json={
+                    "query": f"thread {t} item {i} words", "k": 2,
+                    "thread_id": f"load-{t}"})
+                assert r.status_code == 200, r.text
+        except Exception as e:
+            errors.append(f"t{t}: {e}")
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    h = rq.get(base + "/health", timeout=5).json()
+    assert h["docs_count"] == 48
+    m = rq.get(base + "/metrics", timeout=5).text
+    assert "http_post_search_total" in m  # per-route counters flowed
