@@ -146,6 +146,35 @@ def main() -> None:
     best_path = max(exact_paths, key=lambda p: results[p][0])
     tpu_qps, recall = results[best_path]
 
+    # ---------------- end-to-end /search latency (tokenize + MiniLM encode +
+    # index search + readback), p50 over fresh single queries
+    e2e_p50_ms = None
+    try:
+        from tpu_rag.index import FlatIndex
+        from tpu_rag.engine import RagEngine
+        from tpu_rag.config import Config
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            cfg = Config(persist_dir=f"{td}/vs", kb_db_path=f"{td}/kb.sqlite3",
+                         db_path=f"{td}/app.sqlite3", docs_dir=f"{td}/docs",
+                         embed_seq_len=64, summarize_mode="off")
+            idx = FlatIndex(d, dtype="bfloat16", use_pallas=use_pallas)
+            idx.pallas_min_rows = 0 if use_pallas else idx.pallas_min_rows
+            ids = [str(i) for i in range(n)]
+            idx.add(ids, x, ["text"] * n, [{} for _ in range(n)])
+            eng = RagEngine(cfg, index=idx)
+            eng.query_vector("warm up the encoder and index", k, None, None)
+            lats = []
+            for i in range(12):
+                t0 = time.perf_counter()
+                eng.query_vector(f"fresh query number {i} about topic {i}", k, None, None)
+                lats.append(time.perf_counter() - t0)
+            lats.sort()
+            e2e_p50_ms = round(lats[len(lats) // 2] * 1000, 1)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "exact_top10_qps_per_chip_100k_384d_bf16",
         "value": round(tpu_qps, 1),
@@ -153,6 +182,7 @@ def main() -> None:
         "vs_baseline": round(tpu_qps / cpu_qps, 2),
         "baseline_cpu_bruteforce_qps": round(cpu_qps, 1),
         "recall_at_10_vs_f32_exact": recall,
+        "e2e_search_p50_ms": e2e_p50_ms,  # tokenize + encode + search + readback
         "backend": backend,
         "kernel_path": best_path,
         "paths_qps": {p: round(v[0], 1) for p, v in results.items()},
