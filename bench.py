@@ -32,7 +32,7 @@ enable_persistent_cache()
 from tpu_rag.ops import PAD_TAG, fused_matmul_topk
 from tpu_rag.ops.topk import default_block_n
 n, d, k = {n}, {d}, {k}
-bn = default_block_n(d, 2, 4096)
+bn = default_block_n(d, 2, 8192)
 n_pad = -(-n // bn) * bn
 x = jnp.zeros((n_pad, d), jnp.bfloat16)
 t = jnp.zeros((n_pad,), jnp.int32)
@@ -102,7 +102,7 @@ def main() -> None:
     from tpu_rag.ops.topk import default_block_n
 
     backend = jax.default_backend()
-    bn = default_block_n(d, 2, 4096)
+    bn = default_block_n(d, 2, 8192)
     n_pad = -(-n // bn) * bn
     xp = np.zeros((n_pad, d), np.float32)
     xp[:n] = x

@@ -106,7 +106,7 @@ def main() -> None:
     n, dtype = CONFIGS[args.config]
     d, k, qbatch = args.d, args.k, args.qbatch
     dtype_bytes = 1 if dtype == "int8" else 2
-    bn = default_block_n(d, dtype_bytes, 4096)
+    bn = default_block_n(d, dtype_bytes, 8192)
     n_pad = -(-n // bn) * bn
 
     if args.config.startswith("ivf"):

@@ -62,7 +62,7 @@ class Config:
     index_dtype: str = "bfloat16"       # bfloat16 | float32 | int8
     index_kind: str = "flat"            # flat | ivf
     index_search_mode: str = "exact"    # exact | bucketed (approx, faster at scale)
-    block_n: int = 2048                 # db rows per Pallas tile
+    block_n: int = 8192                 # db rows per Pallas tile (cap; VMEM budget may lower it)
     ivf_nlist: int = 0                  # 0 = auto (~sqrt(N))
     ivf_nprobe: int = 8
     embed_batch: int = 64               # encoder batch (padded, fixed shape)

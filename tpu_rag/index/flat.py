@@ -57,7 +57,7 @@ class FlatIndex:
         dtype: str = "bfloat16",
         metric: str = "cosine",
         use_pallas: bool = True,
-        block_n: int = 2048,
+        block_n: int = 8192,
         search_mode: str = "exact",   # "exact" | "bucketed" (approx, faster)
     ) -> None:
         if metric not in ("cosine", "ip"):

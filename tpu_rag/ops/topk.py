@@ -43,11 +43,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def default_block_n(dim: int, dtype_bytes: int, requested: int = 2048) -> int:
-    """Pick a DB tile height that keeps the tile ~<=4MB of VMEM (the grid
-    pipeline double-buffers, so ~8MB of the ~16MB VMEM goes to DB tiles),
-    rounded to a multiple of 256."""
-    budget = 4 * 1024 * 1024
+def default_block_n(dim: int, dtype_bytes: int, requested: int = 8192) -> int:
+    """Pick a DB tile height that keeps the tile ~<=6MB of VMEM (the grid
+    pipeline double-buffers, so ~12MB of the ~16MB VMEM goes to DB tiles),
+    rounded to a multiple of 256.  Bigger tiles measured faster
+    monotonically at 10M rows (4096: 20ms, 5376: 14.6ms, 8064: 13.0ms in
+    one run); 8MB tiles exceed VMEM and fail to compile."""
+    budget = 6 * 1024 * 1024
     bn = min(requested, max(256, budget // max(1, dim * dtype_bytes)))
     return max(256, (bn // 256) * 256)
 
