@@ -386,3 +386,20 @@ def test_compose_with_llm_summarization(tmp_path):
                                        "thread_id": "s", "language": "en"})
     assert r2.status_code == 200
     assert engine.db.get_summary("s")  # rolling summary persisted
+
+
+def test_search_batched_queries(env):
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "A", "content": "alpha dragon topic"})
+    client.post("/docs/save", json={"title": "B", "content": "beta knight topic"})
+    r = client.post("/search", json={"queries": ["alpha dragon", "beta knight"],
+                                     "k": 2, "highlight": True})
+    assert r.status_code == 200
+    out = r.json()
+    assert len(out["results"]) == 2
+    assert out["results"][0]["hits"][0]["metadata"]["title"] == "A"
+    assert out["results"][1]["hits"][0]["metadata"]["title"] == "B"
+    assert "timings_ms" in out
+    # single-query shape unchanged
+    r = client.post("/search", json={"query": "alpha dragon", "k": 2})
+    assert "hits" in r.json() and "results" not in r.json()

@@ -8,13 +8,17 @@ from pydantic import BaseModel
 
 
 class SearchRequest(BaseModel):
-    query: str
+    query: str = ""
     k: int = 5
     namespace: Optional[str] = None
     canonicality: Optional[str] = None
     rerank: bool = False
     highlight: bool = False
     recency: bool = False  # extension: wire in the recency mix (off = parity)
+    # extension: batched retrieval — one encoder/kernel pass for all queries
+    # (the TPU-friendly serving mode); response carries `results`, one entry
+    # per query, each shaped like a single-query response
+    queries: Optional[List[str]] = None
 
 
 class StyleSpec(BaseModel):

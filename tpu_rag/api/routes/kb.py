@@ -161,16 +161,15 @@ def register(app: App, engine: RagEngine) -> None:
 
     # ------------------------------------------------------------- hybrid search
 
-    @app.post("/search")
-    def search(body: SearchRequest):
-        timings = StageTimings()
-        hits = engine.query_vector(body.query, body.k, body.namespace,
-                                   body.canonicality, timings)
+    def assemble(query: str, hits: list[dict], body: SearchRequest,
+                 timings: StageTimings) -> dict:
+        """FTS merge + meta filter + rerank + recency + highlight + truncate
+        for one query (the reference's /search post-processing,
+        api/routes/kb.py:173-206)."""
         out: dict = {"hits": hits}
-
         try:
             with timings.stage("fts"):
-                db_hits = engine.db.search_kb_fts(body.query, limit=max(1, (body.k or 6) // 2))
+                db_hits = engine.db.search_kb_fts(query, limit=max(1, (body.k or 6) // 2))
             for h in db_hits:
                 h["metadata"] = {**h.get("metadata", {}), "title": h.get("title", ""),
                                  "source": "db"}
@@ -184,7 +183,7 @@ def register(app: App, engine: RagEngine) -> None:
         if body.rerank:
             try:
                 with timings.stage("rerank"):
-                    hits = engine.rerank(body.query, hits)
+                    hits = engine.rerank(query, hits)
                 out["reranked"] = True
             except Exception as e:
                 out["reranked"] = False
@@ -197,11 +196,29 @@ def register(app: App, engine: RagEngine) -> None:
         if body.highlight:
             for h in hits:
                 try:
-                    h["highlights"] = highlight(body.query, h.get("text", ""))
+                    h["highlights"] = highlight(query, h.get("text", ""))
                 except Exception:
                     h["highlights"] = []
 
         out["hits"] = hits[: max(1, body.k or 5)]
         out["source"] = "chroma+db"
+        return out
+
+    @app.post("/search")
+    def search(body: SearchRequest):
+        timings = StageTimings()
+        if body.queries:
+            # batched extension: one encoder/kernel pass for all queries
+            with timings.stage("embed+vector_search"):
+                batch_hits = engine.query_vector_batch(
+                    body.queries, body.k, body.namespace, body.canonicality)
+            results = [assemble(q, hits, body, timings)
+                       for q, hits in zip(body.queries, batch_hits)]
+            return {"results": results, "source": "chroma+db",
+                    "timings_ms": timings.as_dict()}
+
+        hits = engine.query_vector(body.query, body.k, body.namespace,
+                                   body.canonicality, timings)
+        out = assemble(body.query, hits, body, timings)
         out["timings_ms"] = timings.as_dict()
         return out

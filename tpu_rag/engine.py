@@ -190,6 +190,20 @@ class RagEngine:
             logger.warning("vector query failed: %s", e)
             return []
 
+    def query_vector_batch(self, queries: list[str], k: int, namespace: str | None,
+                           canonicality: str | None) -> list[list[dict]]:
+        """Batched embed + one kernel pass for all queries (extension: the
+        reference had no batched retrieval). Returns per-query hit lists
+        shaped like query_vector's."""
+        try:
+            qv = self.embed(queries)
+            from tpu_rag.retrieval.hybrid import vector_hits_batch
+
+            return vector_hits_batch(self.index, qv, k, namespace, canonicality)
+        except Exception as e:
+            logger.warning("batched vector query failed: %s", e)
+            return [[] for _ in queries]
+
     def search_internal(self, query: str, k: int, namespace: str | None,
                         canonicality: str | None, rerank: bool) -> list[dict]:
         """Hybrid merge, parity with reference api/app.py:585-598: vector

@@ -38,6 +38,27 @@ def vector_hits(index, query_vec, k: int, namespace: str | None,
     return hits
 
 
+def vector_hits_batch(index, query_vecs, k: int, namespace: str | None,
+                      canonicality: str | None) -> list[list[dict]]:
+    """Batched variant of vector_hits: one index.search call for all queries."""
+    k = max(1, min(int(5 if k is None else k), 20))
+    res = index.search(query_vecs, k, namespace=namespace or None,
+                       canonicality=canonicality or None)
+    out: list[list[dict]] = []
+    for qi in range(len(res.ids)):
+        hits = []
+        for i in range(len(res.ids[qi])):
+            hits.append({
+                "rank": i + 1,
+                "id": res.ids[qi][i],
+                "score": float(res.distances[qi][i]),
+                "metadata": res.metadatas[qi][i],
+                "text": res.documents[qi][i],
+            })
+        out.append(hits)
+    return out
+
+
 def is_meta_hit(h: dict, meta_tags: tuple[str, ...]) -> bool:
     m = h.get("metadata") or {}
     t = (m.get("type") or m.get("category") or "").strip().lower()
