@@ -25,8 +25,10 @@ def main() -> None:
     from tpu_rag.api.app import create_app
     from tpu_rag.api.server import run_app
     from tpu_rag.config import config_from_env
+    from tpu_rag.parallel.distributed import maybe_init_distributed
     from tpu_rag.utils.compile_cache import enable_persistent_cache
 
+    maybe_init_distributed()  # no-op unless JAX_COORDINATOR_ADDRESS is set
     enable_persistent_cache()
 
     cfg = config_from_env()

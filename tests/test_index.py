@@ -343,3 +343,21 @@ def test_ivf_centroid_persistence_skips_kmeans(tmp_path, monkeypatch):
     loaded.add([f"extra{i}" for i in range(500)], more)
     loaded.search(vecs[0], 1)
     assert calls == [1]
+
+
+def test_corrupt_manifest_falls_back_to_empty(tmp_path):
+    """engine: unreadable persisted index -> warn + fresh empty index."""
+    from tpu_rag.config import Config
+    from tpu_rag.engine import RagEngine
+    from tests.test_api import FakeEncoder
+
+    col = tmp_path / "vs" / "gamefantasy"
+    col.mkdir(parents=True)
+    (col / "manifest.json").write_text("{not json", encoding="utf-8")
+    cfg = Config(persist_dir=str(tmp_path / "vs"),
+                 kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+                 db_path=str(tmp_path / "db/app.sqlite3"),
+                 docs_dir=str(tmp_path / "docs"),
+                 index_dtype="float32", use_pallas=False)
+    engine = RagEngine(cfg, encoder=FakeEncoder())
+    assert engine.index.count() == 0  # degraded to a fresh index, no crash
