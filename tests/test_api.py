@@ -403,3 +403,24 @@ def test_search_batched_queries(env):
     # single-query shape unchanged
     r = client.post("/search", json={"query": "alpha dragon", "k": 2})
     assert "hits" in r.json() and "results" not in r.json()
+
+
+def test_compose_extra_context_injection(env):
+    """Client-supplied snippets flow into the prompt context
+    (web UI snippet-injection mode)."""
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "X", "content": "xylophone zebra facts"})
+
+    captured = {}
+    orig = engine.prepare_messages
+
+    def spy(query, context, *a, **kw):
+        captured["context"] = context
+        return orig(query, context, *a, **kw)
+
+    engine.prepare_messages = spy
+    r = client.post("/compose", json={"query": "xylophone zebra", "k": 2,
+                                      "extra_context": "[snip-1] the zebra plays at dusk"})
+    assert r.status_code == 200
+    assert "<<<CLIENT_SNIPPETS>>>" in captured["context"]
+    assert "the zebra plays at dusk" in captured["context"]

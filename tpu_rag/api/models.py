@@ -49,6 +49,10 @@ class ComposeRequest(BaseModel):
     # a multilingual prompt-injection defense — the reference injected this
     # via a fetch monkey-patch, reference web/main.js:489-531)
     client_guard: Optional[str] = None
+    # extension: client-supplied context appended to the RAG context (the
+    # web UI's snippet-injection mode — reference web/main.js:340-352
+    # appended selected snippets to the outgoing message client-side)
+    extra_context: Optional[str] = None
 
 
 class ChatRequest(BaseModel):

@@ -57,6 +57,8 @@ def register(app: App, engine: RagEngine) -> None:
         engine.db.save_message(thread_id, "user", body.query, lang)
 
         combined_ctx, used_hits = engine.build_compose_context(hits, thread_id, lang)
+        if body.extra_context:
+            combined_ctx += f"\n\n<<<CLIENT_SNIPPETS>>>\n{body.extra_context}\n<<<END_CLIENT_SNIPPETS>>>"
         style = body.style.model_dump() if body.style else None
         messages, temperature = engine.prepare_messages(
             body.query, combined_ctx, body.mode, lang,
@@ -98,6 +100,8 @@ def register(app: App, engine: RagEngine) -> None:
             engine.db.save_message(thread_id, "user", body.query, lang)
             debug_prompts = bool(body.debug or cfg.debug_prompts)
             combined_ctx, used_hits = engine.build_compose_context(hits, thread_id, lang)
+            if body.extra_context:
+                combined_ctx += f"\n\n<<<CLIENT_SNIPPETS>>>\n{body.extra_context}\n<<<END_CLIENT_SNIPPETS>>>"
         except Exception as e:
             def init_fail():
                 yield sse({"type": "text", "data": f"[compose_stream init error] {e}"})

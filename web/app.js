@@ -140,8 +140,16 @@ async function send() {
     thread_id: currentSession.serverThreadId || params.threadId || null,
     style: styleSpec(),
   };
-  if (selectedSnippets.length && $("snippetsOnly").checked) {
-    body.selected_ids = selectedSnippets.map((s) => s.id);
+  if (selectedSnippets.length) {
+    if ($("snippetsOnly").checked) {
+      // restrict retrieval to the selected snippets (server-side filter)
+      body.selected_ids = selectedSnippets.map((s) => s.id);
+    } else {
+      // inject the selected snippet text as extra context alongside
+      // server retrieval (reference main.js:340-352 client-side injection)
+      body.extra_context = selectedSnippets
+        .map((s) => `[${s.id}] ${s.text || ""}`).join("\n\n");
+    }
   }
 
   $("stopBtn").disabled = false;
