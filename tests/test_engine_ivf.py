@@ -104,3 +104,16 @@ def test_ivf_pallas_probe_path(tmp_path):
     flat.add(ids, vecs)
     q = rng.standard_normal((2, d)).astype(np.float32)
     assert ivf.search(q, 5).ids == flat.search(q, 5).ids  # full probe = exact
+
+
+def test_ivf_int8_pallas_probe(tmp_path):
+    """int8 lists through the Pallas probe (interpret on CPU)."""
+    from tpu_rag.index import IVFIndex
+
+    rng = np.random.default_rng(5)
+    n, d = 500, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ivf = IVFIndex(d, dtype="int8", nlist=8, nprobe=8, use_pallas=True)
+    ivf.add([f"v{i}" for i in range(n)], vecs)
+    res = ivf.search(vecs[123], 5)
+    assert res.ids[0][0] == "v123"  # int8 quantization keeps self-recall
