@@ -361,3 +361,25 @@ def test_corrupt_manifest_falls_back_to_empty(tmp_path):
                  index_dtype="float32", use_pallas=False)
     engine = RagEngine(cfg, encoder=FakeEncoder())
     assert engine.index.count() == 0  # degraded to a fresh index, no crash
+
+
+def test_int8_refine_recovers_recall():
+    """int8 scan + exact refine matches f32 exact recall."""
+    ids, vecs, docs, metas = _corpus(n=5000, d=64)
+    exact = FlatIndex(64, dtype="float32", use_pallas=False)
+    exact.add(ids, vecs, docs, metas)
+    i8 = FlatIndex(64, dtype="int8", use_pallas=False)
+    i8.add(ids, vecs, docs, metas)
+    i8_raw = FlatIndex(64, dtype="int8", use_pallas=False)
+    i8_raw.refine_factor = 0
+    i8_raw.add(ids, vecs, docs, metas)
+
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    truth = exact.search(q, 10)
+    refined = i8.search(q, 10)
+    raw = i8_raw.search(q, 10)
+    rec_refined = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, refined.ids)])
+    rec_raw = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, raw.ids)])
+    assert rec_refined >= rec_raw
+    assert rec_refined >= 0.97

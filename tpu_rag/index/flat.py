@@ -73,6 +73,10 @@ class FlatIndex:
         # (630 vs 525 GB/s at 10M). use_pallas=True picks automatically;
         # set pallas_min_rows=0 to force the Pallas kernel always.
         self.pallas_min_rows = 2_000_000
+        # int8 two-stage refine: scan int8 for refine_factor*k candidates,
+        # then exactly re-score those few rows with the f32 master copy
+        # (recall 0.934 -> ~bf16-level at int8 scan cost). 0 disables.
+        self.refine_factor = 4
 
         self._vectors = np.zeros((0, dim), np.float32)
         self._ids: list[str] = []
@@ -251,6 +255,10 @@ class FlatIndex:
 
         snap = self.device_snapshot()
         qj = jnp.asarray(queries)
+        # int8 two-stage refine: oversample candidates, re-score exactly below
+        k_scan = k
+        if self.dtype == "int8" and self.refine_factor > 0:
+            k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
         # cache the filter pair as a device array: a fresh host->device
         # transfer per search costs a full RTT on tunneled backends
         wants = self._wants_cache.get((want_ns, want_canon))
@@ -259,7 +267,7 @@ class FlatIndex:
             self._wants_cache[(want_ns, want_canon)] = wants
         if self.use_pallas and snap["n_pad"] >= self.pallas_min_rows:
             sc, idx = fused_matmul_topk(
-                qj, snap["vectors"], k,
+                qj, snap["vectors"], k_scan,
                 db_scales=snap["scales"],
                 ns_tags=snap["ns"], canon_tags=snap["canon"],
                 wants=wants,
@@ -270,17 +278,39 @@ class FlatIndex:
         else:
             import jax
 
-            fn = self._xla_fn_cache.get(k)
+            fn = self._xla_fn_cache.get(k_scan)
             if fn is None:
                 fn = jax.jit(lambda q, x, s, ns, canon, w: topk_xla_reference(
-                    q, x, k, db_scales=s, ns_tags=ns, canon_tags=canon,
+                    q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
                     want_ns=w[0, 0], want_canon=w[0, 1]))
-                self._xla_fn_cache[k] = fn
+                self._xla_fn_cache[k_scan] = fn
             sc, idx = fn(qj, snap["vectors"],
                          snap["scales"] if snap["scales"] is not None
                          else jnp.ones((snap["vectors"].shape[0],), jnp.float32),
                          snap["ns"], snap["canon"], wants)
-        return self._to_result(np.asarray(sc), np.asarray(idx), snap)
+        sc, idx = np.asarray(sc), np.asarray(idx)
+        if k_scan > k:
+            sc, idx = self._refine_exact(queries, sc, idx, snap, k)
+        return self._to_result(sc, idx, snap)
+
+    def _refine_exact(self, queries: np.ndarray, sc: np.ndarray, idx: np.ndarray,
+                      snap: dict[str, Any], k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Re-score the (few) scanned candidates with the exact f32 master
+        copy and keep the top k (int8 two-stage refine)."""
+        rows_map = snap["rows"]
+        out_sc = np.full((sc.shape[0], k), -np.inf, np.float32)
+        out_idx = np.full((sc.shape[0], k), -1, np.int32)
+        for qi in range(sc.shape[0]):
+            valid = (idx[qi] >= 0) & np.isfinite(sc[qi])
+            cand = idx[qi][valid]
+            if len(cand) == 0:
+                continue
+            host_rows = rows_map[cand]
+            exact = self._vectors[host_rows] @ queries[qi]
+            order = np.argsort(-exact, kind="stable")[:k]
+            out_sc[qi, : len(order)] = exact[order]
+            out_idx[qi, : len(order)] = cand[order]
+        return out_sc, out_idx
 
     def _to_result(self, sc: np.ndarray, idx: np.ndarray, snap: dict[str, Any]) -> SearchResult:
         res = SearchResult(ids=[], similarities=[], distances=[], rows=[], metadatas=[], documents=[])
