@@ -383,3 +383,18 @@ def test_int8_refine_recovers_recall():
     rec_raw = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, raw.ids)])
     assert rec_refined >= rec_raw
     assert rec_refined >= 0.97
+
+
+def test_bucketed_refine_improves_recall():
+    ids, vecs, docs, metas = _corpus(n=6000, d=64)
+    exact = FlatIndex(64, dtype="float32", use_pallas=False)
+    exact.add(ids, vecs, docs, metas)
+    b = FlatIndex(64, dtype="bfloat16", search_mode="bucketed")
+    b.pallas_min_rows = 0
+    b.add(ids, vecs, docs, metas)
+    rng = np.random.default_rng(13)
+    q = rng.standard_normal((6, 64)).astype(np.float32)
+    truth = exact.search(q, 10)
+    got = b.search(q, 10)
+    rec = np.mean([len(set(a) & set(x)) / 10 for a, x in zip(truth.ids, got.ids)])
+    assert rec >= 0.95

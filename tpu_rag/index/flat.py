@@ -255,9 +255,10 @@ class FlatIndex:
 
         snap = self.device_snapshot()
         qj = jnp.asarray(queries)
-        # int8 two-stage refine: oversample candidates, re-score exactly below
+        # two-stage refine (int8 / bucketed): oversample candidates on the
+        # fast scan, re-score that handful exactly below
         k_scan = k
-        if self.dtype == "int8" and self.refine_factor > 0:
+        if (self.dtype == "int8" or self.search_mode == "bucketed") and self.refine_factor > 0:
             k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
         # cache the filter pair as a device array: a fresh host->device
         # transfer per search costs a full RTT on tunneled backends
