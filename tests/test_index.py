@@ -386,9 +386,10 @@ def test_int8_refine_recovers_recall():
 
 
 def test_bucketed_refine_improves_recall():
-    ids, vecs, docs, metas = _corpus(n=6000, d=64)
+    ids, vecs, docs, metas = _corpus(n=30000, d=64)
     exact = FlatIndex(64, dtype="float32", use_pallas=False)
     exact.add(ids, vecs, docs, metas)
+    # bucketed needs n >> 128 * k_scan for dense-enough candidates
     b = FlatIndex(64, dtype="bfloat16", search_mode="bucketed")
     b.pallas_min_rows = 0
     b.add(ids, vecs, docs, metas)
