@@ -385,11 +385,11 @@ def test_int8_refine_recovers_recall():
     assert rec_refined >= 0.97
 
 
-def test_bucketed_refine_improves_recall():
+def test_bucketed_recall_at_scale():
     ids, vecs, docs, metas = _corpus(n=30000, d=64)
     exact = FlatIndex(64, dtype="float32", use_pallas=False)
     exact.add(ids, vecs, docs, metas)
-    # bucketed needs n >> 128 * k_scan for dense-enough candidates
+    # bucketed needs n >> 128 * k for dense-enough candidates
     b = FlatIndex(64, dtype="bfloat16", search_mode="bucketed")
     b.pallas_min_rows = 0
     b.add(ids, vecs, docs, metas)
