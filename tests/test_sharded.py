@@ -100,3 +100,21 @@ def test_sharded_bucketed_mode():
     got = sb.search(q, 10)
     recalls = [len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, got.ids)]
     assert np.mean(recalls) >= 0.9
+
+
+def test_sharded_int8_refine():
+    rng = np.random.default_rng(21)
+    n, d = 3000, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    exact = FlatIndex(d, dtype="float32", use_pallas=False)
+    exact.add(ids, vecs)
+    s8 = ShardedFlatIndex(d, dtype="int8", use_pallas=False,
+                          mesh=mesh_from_spec("data:8"))
+    assert s8.refine_factor > 0  # inherited default
+    s8.add(ids, vecs)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    truth = exact.search(q, 10)
+    got = s8.search(q, 10)
+    rec = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, got.ids)])
+    assert rec >= 0.95

@@ -140,12 +140,22 @@ class ShardedFlatIndex(FlatIndex):
                                 metadatas=[[] for _ in range(nq)], documents=[[] for _ in range(nq)])
 
         snap = self.device_snapshot()
-        fn = self._search_fns.get(k)
+        # int8 two-stage refine (same as FlatIndex): oversample on the scan,
+        # re-score the handful exactly on host
+        k_scan = k
+        if self.dtype == "int8" and self.refine_factor > 0:
+            k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
+        fn = self._search_fns.get(k_scan)
         if fn is None:
-            fn = make_sharded_search(self._mesh(), k=k, use_pallas=self.use_pallas,
+            fn = make_sharded_search(self._mesh(), k=k_scan, use_pallas=self.use_pallas,
                                      axis=self.axis, mode=self.search_mode)
-            self._search_fns[k] = fn
+            self._search_fns[k_scan] = fn
         wants = jnp.array([want_ns, want_canon], jnp.int32)
         sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
                      snap["ns"], snap["canon"], wants)
-        return self._to_result(np.asarray(sc), np.asarray(gid), snap)
+        sc, gid = np.asarray(sc), np.asarray(gid)
+        if k_scan > k:
+            # padding rows sit at the end of the padded array, so a global
+            # padded index < n equals the live-row position directly
+            sc, gid = self._refine_exact(queries, sc, gid, snap, k)
+        return self._to_result(sc, gid, snap)
