@@ -237,11 +237,15 @@ class IVFIndex(FlatIndex):
         nprobe = min(self.nprobe, snap["nlist"]) if snap["nlist"] > 0 else 0
         have_main = snap["nlist"] > 0
         have_ov = len(snap["ov_rows"]) > 0
-        key = (k, nprobe, have_main, have_ov,
+        # int8 two-stage refine (same as FlatIndex)
+        k_scan = k
+        if self.dtype == "int8" and self.refine_factor > 0:
+            k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
+        key = (k_scan, nprobe, have_main, have_ov,
                snap["nlist"], len(snap["ov_rows"]))
         fn = self._ov_fn_cache.get(key)
         if fn is None:
-            fn = self._build_search_fn(k, nprobe, have_main, have_ov)
+            fn = self._build_search_fn(k_scan, nprobe, have_main, have_ov)
             self._ov_fn_cache[key] = fn
         args = [qj, wants]
         if have_main:
@@ -251,7 +255,10 @@ class IVFIndex(FlatIndex):
             args += [snap["ov_vectors"], snap["ov_ns"], snap["ov_canon"],
                      snap["ov_live"]]
         sc, rows = fn(*args)
-        return self._to_result(np.asarray(sc), np.asarray(rows), snap)
+        sc, rows = np.asarray(sc), np.asarray(rows)
+        if k_scan > k:
+            sc, rows = self._refine_exact(queries, sc, rows, snap, k)
+        return self._to_result(sc, rows, snap)
 
     def _build_search_fn(self, k: int, nprobe: int, have_main: bool, have_ov: bool):
         """Fused device-side probe + exact-overflow + merge, jitted."""
