@@ -164,13 +164,37 @@ class HTTPServer:
         )
         addrs = ", ".join(str(s.getsockname()) for s in self._server.sockets)
         logger.info("serving on %s", addrs)
+
+        # graceful shutdown on SIGTERM/SIGINT: stop accepting, let in-flight
+        # requests finish (abrupt kills mid-device-computation can wedge
+        # tunneled accelerator runtimes — see .claude/skills/verify/SKILL.md)
+        stop = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        try:
+            import signal
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                loop.add_signal_handler(sig, stop.set)
+        except (NotImplementedError, RuntimeError):
+            pass  # platforms without signal handler support
+
         async with self._server:
-            await self._server.serve_forever()
+            serve_task = asyncio.create_task(self._server.serve_forever())
+            stop_task = asyncio.create_task(stop.wait())
+            done, _ = await asyncio.wait({serve_task, stop_task},
+                                         return_when=asyncio.FIRST_COMPLETED)
+            if stop_task in done:
+                logger.info("shutdown signal received; draining connections")
+                self._server.close()
+                await self._server.wait_closed()
+                # give streaming responses a moment to flush
+                await asyncio.sleep(0.2)
+                serve_task.cancel()
 
     def run(self) -> None:
         try:
             asyncio.run(self.serve())
-        except KeyboardInterrupt:
+        except (KeyboardInterrupt, asyncio.CancelledError):
             pass
 
 
