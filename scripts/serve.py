@@ -37,6 +37,9 @@ def main() -> None:
     if args.port:
         cfg.port = args.port
     app = create_app(cfg)
+    if cfg.warmup:
+        print("warming up encoder + search kernels ...")
+        app.state["engine"].warmup()
     print(f"tpu_rag serving on http://{cfg.host}:{cfg.port} "
           f"(collection={cfg.collection_name}, index={cfg.index_kind}/{cfg.index_dtype})")
     run_app(app, cfg.host, cfg.port)

@@ -424,3 +424,11 @@ def test_compose_extra_context_injection(env):
     assert r.status_code == 200
     assert "<<<CLIENT_SNIPPETS>>>" in captured["context"]
     assert "the zebra plays at dusk" in captured["context"]
+
+
+def test_engine_warmup(env):
+    _, engine, _ = env
+    dt = engine.warmup(rerank=True)
+    assert dt >= 0
+    # warmup populated the query-embed cache path without errors
+    assert engine.query_vector("warmup query", 5, None, None) == []

@@ -77,6 +77,7 @@ class Config:
     host: str = "0.0.0.0"
     port: int = 8000
     debug_prompts: bool = False
+    warmup: bool = False                # compile encoder+search at startup
 
     @property
     def auth_enabled(self) -> bool:
@@ -141,4 +142,5 @@ def config_from_env(dotenv: str | None = None) -> Config:
         host=env_str("HOST", d.host),
         port=env_int("PORT", d.port),
         debug_prompts=env_bool("DEBUG_PROMPTS", d.debug_prompts),
+        warmup=env_bool("WARMUP", d.warmup),
     )

@@ -262,3 +262,21 @@ class RagEngine:
 
     def new_thread_id(self) -> str:
         return f"auto-{int(time.time() * 1000)}"
+
+    def warmup(self, *, rerank: bool = False) -> float:
+        """Compile the request-path jits before serving (first compiles can
+        take 10s-60s; a verify finding: /health showed docs_count lag and
+        first /search paid the full compile).  Returns seconds spent."""
+        t0 = time.time()
+        try:
+            self.query_vector("warmup query", 5, None, None)
+        except Exception as e:
+            logger.warning("warmup query failed: %s", e)
+        if rerank:
+            try:
+                self.rerank("warmup", [{"id": "w", "text": "warmup text"}])
+            except Exception as e:
+                logger.warning("warmup rerank failed: %s", e)
+        dt = time.time() - t0
+        logger.info("warmup done in %.1fs", dt)
+        return dt
