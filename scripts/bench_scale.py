@@ -28,6 +28,7 @@ CONFIGS = {
     "flat-10m-bf16": (10_000_000, "bfloat16"),
     "flat-10m-int8": (10_000_000, "int8"),
     "ivf-1m-bf16": (1_000_000, "bfloat16"),
+    "encoder-minilm": (4096, "bfloat16"),   # ingest embed throughput
 }
 
 
@@ -82,6 +83,30 @@ def _run_ivf(n, d, k, qbatch, args) -> None:
                       "nprobe_sweep": sweep}))
 
 
+def _run_encoder(n, args) -> None:
+    """MiniLM-class embed throughput (ingest build-time axis)."""
+    import time as _t
+
+    import numpy as np
+
+    from tpu_rag.models.biencoder import BiEncoder
+
+    enc = BiEncoder(batch=256, seq_len=256)
+    texts = [f"document number {i} about topic {i % 97} with several words "
+             f"of content repeated {' lorem ipsum' * 8}" for i in range(n)]
+    enc.embed(texts[:256])  # compile
+    t0 = _t.perf_counter()
+    out = enc.embed(texts)
+    dt = _t.perf_counter() - t0
+    print(json.dumps({
+        "config": args.config, "n": n,
+        "model": "minilm-l6 (384d, seq 256, batch 256)",
+        "texts_per_second": round(n / dt, 1),
+        "seconds": round(dt, 2),
+        "dim": int(out.shape[1]),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="flat-1m-bf16", choices=sorted(CONFIGS))
@@ -111,6 +136,9 @@ def main() -> None:
 
     if args.config.startswith("ivf"):
         _run_ivf(n, d, k, qbatch, args)
+        return
+    if args.config.startswith("encoder"):
+        _run_encoder(n, args)
         return
 
     # ---- on-device data generation (chunked to bound peak memory)
