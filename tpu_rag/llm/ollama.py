@@ -36,67 +36,64 @@ class OllamaBackend(LLMBackend):
             options["num_predict"] = num_predict
         return options
 
-    def _chat_payload(self, messages, stream, options) -> dict:
-        return {"model": self.model, "messages": messages, "stream": stream,
-                "options": options}
+    def _payload(self, messages, stream, options) -> tuple[str, dict]:
+        """Build (url, body) for the endpoint currently in use.
 
-    def _generate_payload(self, messages, stream, options) -> dict:
+        Chat mode sends the message list to /api/chat; legacy mode joins the
+        message contents into a single prompt for /api/generate.
+        """
+        if self.use_chat:
+            return (f"{self.host}/api/chat",
+                    {"model": self.model, "messages": messages,
+                     "stream": stream, "options": options})
         prompt = "\n".join(m.get("content", "") for m in messages)
-        return {"model": self.model, "prompt": prompt, "stream": stream,
-                "options": options}
+        return (f"{self.host}/api/generate",
+                {"model": self.model, "prompt": prompt,
+                 "stream": stream, "options": options})
+
+    def _downgrade_on_404(self, err: requests.HTTPError) -> None:
+        """Old Ollama servers predate the chat endpoint and answer 404.
+
+        Flip this backend into legacy prompt mode permanently and let the
+        caller retry; any other HTTP error propagates.
+        """
+        if getattr(err.response, "status_code", None) != 404:
+            raise err
+        logger.info("ollama: chat endpoint unavailable (404); retrying via legacy generate API")
+        self.use_chat = False
+
+    @staticmethod
+    def _extract(data: dict) -> str:
+        """Pull the text out of either response shape (chat vs generate)."""
+        return (data.get("message") or {}).get("content") or data.get("response") or ""
 
     def complete(self, messages, *, temperature=0.7, max_tokens=None, num_predict=None) -> str:
         options = self._options(temperature, num_predict or max_tokens)
-        if self.use_chat:
+        for _ in range(2):  # at most one retry, after a chat->generate downgrade
+            url, body = self._payload(messages, False, options)
             try:
-                r = requests.post(f"{self.host}/api/chat",
-                                  json=self._chat_payload(messages, False, options),
-                                  timeout=TIMEOUT)
+                r = requests.post(url, json=body, timeout=TIMEOUT)
                 r.raise_for_status()
-                data = r.json()
-                return (data.get("message") or {}).get("content") or data.get("response", "")
+                return self._extract(r.json())
             except requests.HTTPError as e:
-                if getattr(e.response, "status_code", None) == 404:
-                    logger.info("/api/chat not found, falling back to /api/generate")
-                    self.use_chat = False
-                else:
-                    raise
-        r = requests.post(f"{self.host}/api/generate",
-                          json=self._generate_payload(messages, False, options),
-                          timeout=TIMEOUT)
-        r.raise_for_status()
-        return r.json().get("response", "")
+                self._downgrade_on_404(e)
+        raise RuntimeError("ollama: generate endpoint also failed")  # unreachable in practice
 
     def stream(self, messages, *, temperature=0.7, max_tokens=None, num_predict=None) -> Iterator[str]:
         options = self._options(temperature, num_predict or max_tokens)
-        if self.use_chat:
+        for _ in range(2):
+            url, body = self._payload(messages, True, options)
             try:
-                with requests.post(f"{self.host}/api/chat",
-                                   json=self._chat_payload(messages, True, options),
-                                   stream=True, timeout=TIMEOUT) as r:
+                with requests.post(url, json=body, stream=True, timeout=TIMEOUT) as r:
                     r.raise_for_status()
+                    # Ollama streams one JSON object per line (NDJSON).
                     for line in r.iter_lines():
                         if not line:
                             continue
-                        data = json.loads(line.decode("utf-8"))
-                        msg = (data.get("message") or {}).get("content") or data.get("response")
-                        if msg:
-                            yield msg
+                        piece = self._extract(json.loads(line.decode("utf-8")))
+                        if piece:
+                            yield piece
                     return
             except requests.HTTPError as e:
-                if getattr(e.response, "status_code", None) == 404:
-                    logger.info("/api/chat not found, falling back to /api/generate")
-                    self.use_chat = False
-                else:
-                    raise
-        with requests.post(f"{self.host}/api/generate",
-                           json=self._generate_payload(messages, True, options),
-                           stream=True, timeout=TIMEOUT) as r:
-            r.raise_for_status()
-            for line in r.iter_lines():
-                if not line:
-                    continue
-                data = json.loads(line.decode("utf-8"))
-                msg = data.get("response")
-                if msg:
-                    yield msg
+                self._downgrade_on_404(e)
+        raise RuntimeError("ollama: generate endpoint also failed")

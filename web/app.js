@@ -14,8 +14,8 @@ const $ = (id) => document.getElementById(id);
 
 /* ---------------- params panel binding ---------------- */
 const PARAM_FIELDS = ["apiBase", "apiKey", "mode", "language", "engine",
-  "targetLength", "threadId", "k", "rerank", "namespace", "canonicality",
-  "tone", "directness", "empathy", "hedging", "formality"];
+  "targetLength", "threadId", "k", "rerank", "debug", "namespace",
+  "canonicality", "tone", "directness", "empathy", "hedging", "formality"];
 
 function bindParams() {
   for (const f of PARAM_FIELDS) {
@@ -103,6 +103,12 @@ function renderBubble(m) {
       el("pre", {}, m.reasoning));
     wrap.append(details);
   }
+  if (m.debug) {
+    const dbg = el("details", { class: "debug-preview" },
+      el("summary", {}, "提示詞預覽 (debug)"),
+      el("pre", {}, typeof m.debug === "string" ? m.debug : JSON.stringify(m.debug, null, 2)));
+    wrap.append(dbg);
+  }
   wrap.append(el("div", { class: "bubble-text" }, m.text || ""));
   if (m.citations && m.citations.length) {
     const cits = el("div", { class: "citations" },
@@ -139,6 +145,7 @@ async function send() {
     language: params.language, target_length: params.targetLength || null,
     thread_id: currentSession.serverThreadId || params.threadId || null,
     style: styleSpec(),
+    debug: !!params.debug,
   };
   if (selectedSnippets.length) {
     if ($("snippetsOnly").checked) {
@@ -156,6 +163,7 @@ async function send() {
   activeController = api.composeStream(body, (evt) => {
     if (evt.type === "reasoning") botMsg.reasoning += evt.data;
     else if (evt.type === "text") botMsg.text += evt.data;
+    else if (evt.debug) botMsg.debug = evt.debug;  // server prompt preview (reference main.js:337)
     else if (evt.citations) {
       botMsg.citations = evt.citations;
       if (evt.thread_id) currentSession.serverThreadId = evt.thread_id;
