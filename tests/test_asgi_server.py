@@ -113,6 +113,84 @@ def anyio_backend():
     return "asyncio"
 
 
+def _infinite_stream_app():
+    """App with an endless SSE route that records generator teardown."""
+    app = App()
+    closed = threading.Event()
+
+    @app.get("/inf", public=True)
+    def inf():
+        def gen():
+            try:
+                i = 0
+                while True:
+                    yield f"data: {i}\n\n"
+                    i += 1
+            finally:
+                closed.set()
+        return Response(stream=gen(), media_type="text/event-stream")
+
+    return app, closed
+
+
+def _http_scope(path):
+    return {"type": "http", "method": "GET", "path": path,
+            "headers": [], "query_string": b""}
+
+
+async def _abort_after_chunks(app, n_chunks, via_disconnect):
+    """Drive one streaming request, aborting after n_chunks either by the
+    receive channel announcing http.disconnect or by send() raising."""
+    state = {"requests": 0, "bodies": 0}
+
+    async def receive():
+        if state["requests"] == 0:
+            state["requests"] += 1
+            return {"type": "http.request", "body": b"", "more_body": False}
+        if via_disconnect:
+            while state["bodies"] < n_chunks:
+                await asyncio.sleep(0.005)
+            return {"type": "http.disconnect"}
+        await asyncio.sleep(3600)  # no further client messages
+        return {"type": "http.disconnect"}
+
+    async def send(msg):
+        if msg["type"] == "http.response.body" and msg.get("body"):
+            state["bodies"] += 1
+            if not via_disconnect and state["bodies"] >= n_chunks:
+                raise ConnectionResetError("client went away")
+
+    await asyncio.wait_for(app(_http_scope("/inf"), receive, send), timeout=15)
+
+
+@pytest.mark.anyio
+@pytest.mark.parametrize("via_disconnect", [False, True])
+async def test_stream_abort_closes_generator(via_disconnect):
+    """Client abort mid-SSE must close() the upstream generator (which is the
+    LLM stream in production) instead of leaking it — both when send()
+    raises on a dead socket and when the server signals http.disconnect."""
+    app, closed = _infinite_stream_app()
+    await _abort_after_chunks(app, 3, via_disconnect)
+    assert closed.wait(timeout=5), "stream generator finally-block never ran"
+
+
+@pytest.mark.anyio
+async def test_stream_abort_no_thread_leak():
+    """Repeated aborts must not accumulate blocked pump threads (the round-1
+    bug: pump blocked forever on a full queue once the consumer died)."""
+    app, _ = _infinite_stream_app()
+    await _abort_after_chunks(app, 2, False)  # warm the executor pool
+    await asyncio.sleep(0.3)
+    baseline = threading.active_count()
+    for _ in range(10):
+        await _abort_after_chunks(app, 2, False)
+    deadline = time.time() + 8
+    while time.time() < deadline and threading.active_count() > baseline + 2:
+        await asyncio.sleep(0.1)
+    growth = threading.active_count() - baseline
+    assert growth <= 2, f"{growth} threads leaked across 10 aborted streams"
+
+
 def test_concurrent_mixed_load_through_server(tmp_path):
     """8 client threads hammer the real socket server with mixed
     search/save/compose traffic — no 5xx, consistent state."""

@@ -19,6 +19,7 @@ import inspect
 import json
 import logging
 import mimetypes
+import queue as thread_queue
 import threading
 import traceback
 from pathlib import Path
@@ -286,24 +287,7 @@ class App:
                         for k, v in out_headers.items()],
         })
         if response.stream is not None:
-            queue: asyncio.Queue = asyncio.Queue(maxsize=64)
-            _SENTINEL = object()
-
-            def pump():
-                try:
-                    for chunk in response.stream:
-                        data = chunk.encode("utf-8") if isinstance(chunk, str) else chunk
-                        asyncio.run_coroutine_threadsafe(queue.put(data), loop).result()
-                finally:
-                    asyncio.run_coroutine_threadsafe(queue.put(_SENTINEL), loop).result()
-
-            threading.Thread(target=pump, daemon=True).start()
-            while True:
-                chunk = await queue.get()
-                if chunk is _SENTINEL:
-                    break
-                await send({"type": "http.response.body", "body": chunk, "more_body": True})
-            await send({"type": "http.response.body", "body": b"", "more_body": False})
+            await self._send_stream(response.stream, receive, send, loop)
         else:
             await send({"type": "http.response.body", "body": response.body})
 
@@ -312,3 +296,87 @@ class App:
                 await loop.run_in_executor(None, fn, *args)
             except Exception as e:
                 logger.warning("background task failed: %s", e)
+
+    async def _send_stream(self, stream: Iterable[str | bytes], receive, send, loop) -> None:
+        """Bridge a sync generator onto the event loop, surviving client aborts.
+
+        The generator runs in a pump thread and hands chunks over a bounded
+        thread-safe queue.  Cancellation (client disconnect, or `send`
+        raising on a closed socket) sets `cancel`, which the pump observes on
+        its next put/iteration; the pump then close()s the upstream generator
+        so LLM streams are torn down rather than leaked.  The pump never
+        blocks indefinitely: every queue put is a short-timeout retry loop
+        gated on `cancel`.
+        """
+        q: thread_queue.Queue = thread_queue.Queue(maxsize=64)
+        cancel = threading.Event()
+        _SENTINEL = None
+
+        def put_until_cancelled(item) -> bool:
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except thread_queue.Full:
+                    continue
+            return False
+
+        def pump():
+            try:
+                for chunk in stream:
+                    if cancel.is_set():
+                        break
+                    data = chunk.encode("utf-8") if isinstance(chunk, str) else chunk
+                    if not put_until_cancelled(data):
+                        break
+            finally:
+                close = getattr(stream, "close", None)
+                if close is not None:
+                    try:
+                        close()
+                    except Exception:
+                        pass
+                # Wake a consumer blocked on an empty queue.  If the queue is
+                # full the consumer is either still draining (and will reach
+                # this sentinel slot soon) or already cancelled — a blocking
+                # put is never needed.
+                put_until_cancelled(_SENTINEL)
+
+        async def watch_disconnect():
+            # ASGI servers signal client aborts via http.disconnect on the
+            # receive channel; send() may or may not raise, so watch both.
+            try:
+                while True:
+                    message = await receive()
+                    if message["type"] == "http.disconnect":
+                        return
+            except Exception:
+                return
+
+        pump_thread = threading.Thread(target=pump, daemon=True)
+        pump_thread.start()
+        watcher = asyncio.ensure_future(watch_disconnect())
+        try:
+            while True:
+                get = loop.run_in_executor(None, q.get)
+                done, _ = await asyncio.wait({get, watcher},
+                                             return_when=asyncio.FIRST_COMPLETED)
+                if watcher in done and get not in done:
+                    # client went away; unblock the stray q.get with data that
+                    # is already en route, or the pump's sentinel
+                    break
+                chunk = get.result()
+                if chunk is _SENTINEL:
+                    break
+                await send({"type": "http.response.body", "body": chunk, "more_body": True})
+            if not cancel.is_set() and not watcher.done():
+                await send({"type": "http.response.body", "body": b"", "more_body": False})
+        except Exception:
+            pass  # closed socket mid-stream — cancellation below tears down the pump
+        finally:
+            cancel.set()
+            watcher.cancel()
+            try:
+                q.put_nowait(_SENTINEL)  # wake an abandoned q.get executor thread
+            except thread_queue.Full:
+                pass  # queue has data, so no getter can be blocked
