@@ -85,6 +85,39 @@ def main() -> None:
         cpu_topk(queries)
     cpu_qps = qbatch * iters / (time.perf_counter() - t0)
 
+    # ---------------- CPU ANN baseline: first-party C++ HNSW (native/hnsw.cc),
+    # the stand-in for the reference's Chroma->hnswlib path (BASELINE.md #1).
+    # The graph build is cached on disk keyed by the corpus config — the
+    # build itself is timed once and reported (hnswlib-style persistence).
+    ann = {}
+    try:
+        from tpu_rag.baseline import CpuHnswIndex
+
+        cache = f"/tmp/tpu_rag_bench_hnsw_{n}x{d}_m16efc100_seed0.bin"
+        if os.path.isfile(cache):
+            hnsw = CpuHnswIndex.load(cache)
+            build_s = None  # cached; first-run number kept alongside
+        else:
+            hnsw = CpuHnswIndex(d, n, m=16, ef_construction=100)
+            t0 = time.perf_counter()
+            hnsw.add(x)
+            build_s = time.perf_counter() - t0
+            hnsw.save(cache)
+        ef = 64
+        hnsw.search(queries, k, ef=ef)  # warm
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ids_ann, _ = hnsw.search(queries, k, ef=ef)
+        ann_qps = qbatch * iters / (time.perf_counter() - t0)
+        ann_recall = float(np.mean([
+            len(set(ids_ann[i]) & set(truth_id[i])) / k for i in range(qbatch)]))
+        ann = {"qps": round(ann_qps, 1), "recall_at_10": round(ann_recall, 4),
+               "ef_search": ef, "build_s": round(build_s, 1) if build_s else None,
+               "threads": os.cpu_count()}
+    except Exception as e:
+        ann = {"error": str(e)}
+
     # ---------------- TPU path selection
     use_pallas = _pallas_preflight(n, d, k, qbatch)
 
@@ -149,6 +182,7 @@ def main() -> None:
     # ---------------- end-to-end /search latency (tokenize + MiniLM encode +
     # index search + readback), p50 over fresh single queries
     e2e_p50_ms = None
+    tpu_build_s = None
     try:
         from tpu_rag.index import FlatIndex
         from tpu_rag.engine import RagEngine
@@ -162,7 +196,10 @@ def main() -> None:
             idx = FlatIndex(d, dtype="bfloat16", use_pallas=use_pallas)
             idx.pallas_min_rows = 0 if use_pallas else idx.pallas_min_rows
             ids = [str(i) for i in range(n)]
+            t0 = time.perf_counter()
             idx.add(ids, x, ["text"] * n, [{} for _ in range(n)])
+            idx.search(queries[:1], k)  # force device snapshot build
+            tpu_build_s = round(time.perf_counter() - t0, 2)
             eng = RagEngine(cfg, index=idx)
             eng.query_vector("warm up the encoder and index", k, None, None)
             lats = []
@@ -175,14 +212,20 @@ def main() -> None:
     except Exception:
         pass
 
+    # vs_baseline is the honest ratio: TPU exact search vs the CPU ANN
+    # (HNSW) baseline; brute-force numpy is reported alongside for context.
+    ann_qps_val = ann.get("qps")
+    vs = tpu_qps / ann_qps_val if ann_qps_val else tpu_qps / cpu_qps
     print(json.dumps({
         "metric": "exact_top10_qps_per_chip_100k_384d_bf16",
         "value": round(tpu_qps, 1),
         "unit": "qps",
-        "vs_baseline": round(tpu_qps / cpu_qps, 2),
+        "vs_baseline": round(vs, 2),
+        "baseline_cpu_ann": ann,  # first-party C++ HNSW (Chroma/hnswlib stand-in)
         "baseline_cpu_bruteforce_qps": round(cpu_qps, 1),
         "recall_at_10_vs_f32_exact": recall,
         "e2e_search_p50_ms": e2e_p50_ms,  # tokenize + encode + search + readback
+        "tpu_index_build_s": tpu_build_s,  # vs baseline_cpu_ann.build_s (graph build)
         "backend": backend,
         "kernel_path": best_path,
         "paths_qps": {p: round(v[0], 1) for p, v in results.items()},

@@ -338,9 +338,13 @@ def test_ivf_centroid_persistence_skips_kmeans(tmp_path, monkeypatch):
     assert res.ids[0][0] == "doc-42"
     assert calls == []  # no retraining on reload
 
-    # doubling the corpus triggers a retrain
+    # doubling the corpus triggers a retrain at the next compaction (small
+    # adds are absorbed by the device append block without rebuilding)
     more = np.random.default_rng(1).standard_normal((500, 32)).astype(np.float32)
     loaded.add([f"extra{i}" for i in range(500)], more)
+    loaded.search(vecs[0], 1)
+    assert calls == []  # absorbed incrementally, no rebuild yet
+    loaded.compact()
     loaded.search(vecs[0], 1)
     assert calls == [1]
 

@@ -9,23 +9,75 @@ sharded search in tpu_rag/parallel.
 Mutations (add/delete/upsert) are host-side numpy appends + tombstones,
 mirroring how the reference's online indexer adds/deletes documents
 (reference api/app.py:209-225,253-271).  The device snapshot is refreshed
-lazily on the next search, so streaming ingestion never blocks serving on a
-full rebuild.
+lazily on the next search, and the refresh is INCREMENTAL: new rows stream
+into a fixed-capacity device append block via dynamic_update_slice (transfer
+O(new rows), like hnswlib's incremental insert — reference api/app.py:209-225),
+and deletions flip the affected rows' filter tags to PAD_TAG in place
+(transfer O(deleted rows)).  A full re-upload happens only when the append
+block fills or tombstones accumulate past a threshold — so a single
+/docs/save against a 10M-row corpus moves kilobytes, not gigabytes.
 """
 
 from __future__ import annotations
 
 import threading
 from dataclasses import dataclass, field
+
 from typing import Any
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from tpu_rag.index.filter import TagVocab
 from tpu_rag.ops.quant import quantize_int8_rows
-from tpu_rag.ops.topk import fused_matmul_topk, topk_xla_reference
+from tpu_rag.ops.topk import PAD_TAG, fused_matmul_topk, topk_xla_reference
+
+# Fixed chunk shapes keep these jitted updaters at one compilation each.
+# No buffer donation: concurrent searches may still hold the previous
+# snapshot's buffers (snapshot refresh is copy-on-write), so updates allocate
+# fresh device arrays — the copies are device-side and O(block), never
+# host->device traffic.
+APPEND_GRANULE = 256
+KILL_GRANULE = 64
+
+
+@jax.jit
+def _append_chunk_device(vb, sb, nb, cb, new_vals, new_scales, new_ns, new_canon, offset):
+    """Write one APPEND_GRANULE-row chunk into the device append block."""
+    vb = jax.lax.dynamic_update_slice(vb, new_vals, (offset, 0))
+    sb = jax.lax.dynamic_update_slice(sb, new_scales, (offset,))
+    nb = jax.lax.dynamic_update_slice(nb, new_ns, (offset,))
+    cb = jax.lax.dynamic_update_slice(cb, new_canon, (offset,))
+    return vb, sb, nb, cb
+
+
+@jax.jit
+def _kill_tags_device(ns, canon, rows):
+    """Tombstone device rows in place: PAD_TAG rows are filtered by every
+    search kernel, so flipping the tags deletes without moving vectors."""
+    ns = ns.at[rows].set(PAD_TAG)
+    canon = canon.at[rows].set(PAD_TAG)
+    return ns, canon
+
+
+@jax.jit
+def _kill_tags_2d_device(ns_lists, canon_lists, flat_rows):
+    """Same as _kill_tags_device for (nlist, cap) IVF tag arrays, addressed
+    by flattened slot index list*cap + slot."""
+    shape = ns_lists.shape
+    ns = ns_lists.reshape(-1).at[flat_rows].set(PAD_TAG).reshape(shape)
+    canon = canon_lists.reshape(-1).at[flat_rows].set(PAD_TAG).reshape(shape)
+    return ns, canon
+
+
+def _quantize_int8_np(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side mirror of ops.quant.quantize_int8_rows for small chunks."""
+    absmax = np.max(np.abs(x), axis=1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(x / scales[:, None]), -127, 127).astype(np.int8)
+    return q, scales
 
 
 @dataclass
@@ -93,6 +145,19 @@ class FlatIndex:
         self._dirty = True
         self._wants_cache: dict[tuple[int, int], Any] = {}  # device arrays
         self._xla_fn_cache: dict[int, Any] = {}  # jitted XLA search per k
+        # incremental snapshot refresh: adds stream into a device append
+        # block, deletes flip tags in place; a full re-upload happens only
+        # when the block fills or tombstones pass max_dead_fraction
+        self.incremental = True
+        self.append_capacity = 4096            # rows before forced compaction
+        self.max_dead_fraction = 0.3
+        self._pending_add: list[int] = []      # host rows awaiting device append
+        self._pending_dead: list[int] = []     # host rows awaiting device kill
+        self._append_rows: np.ndarray | None = None  # append slot -> host row
+        self._append_slot: dict[int, int] = {}       # host row -> append slot
+        self._dead_since_compact = 0
+        self.snapshot_stats = {"full_rebuilds": 0, "incremental_appends": 0,
+                               "incremental_kills": 0, "rows_uploaded_last": 0}
         # guards host-side state across concurrent requests (the reference
         # had unguarded shared mutable state — SURVEY.md §5 race detection)
         self._lock = threading.RLock()
@@ -124,6 +189,7 @@ class FlatIndex:
                 if row is not None:
                     self._alive[row] = False
                     del self._id_to_row[i]
+                    self._note_dead(row)
 
             start = len(self._ids)
             self._vectors = np.concatenate([self._vectors, vectors], axis=0)
@@ -137,9 +203,40 @@ class FlatIndex:
                 self._documents.append(doc or "")
                 self._metadatas.append(dict(meta or {}))
                 self._id_to_row[i] = start + off
-            self._dirty = True
+            self._note_added(range(start, start + len(ids)))
 
     upsert = add
+
+    def _note_added(self, rows) -> None:
+        """Stage freshly-added host rows for an incremental device append.
+        Called under the lock.  Falls back to a full rebuild when the append
+        block cannot absorb them (reserving one granule of slack so chunked
+        dynamic_update_slice writes never run past the block)."""
+        if self._dirty or self._device is None or not self.incremental:
+            self._dirty = True
+            return
+        rows = list(rows)
+        fill = int(self._device.get("a_fill", 0))
+        if fill + len(self._pending_add) + len(rows) > self.append_capacity - APPEND_GRANULE:
+            self._dirty = True
+            self._pending_add.clear()
+            return
+        self._pending_add.extend(rows)
+
+    def _note_dead(self, row: int) -> None:
+        """Stage a tombstoned host row for an in-place device tag kill.
+        Called under the lock."""
+        self._dead_since_compact += 1
+        if self._dirty or self._device is None or not self.incremental:
+            self._dirty = True
+            return
+        if self._dead_since_compact > self.max_dead_fraction * max(len(self._ids), 1):
+            self._dirty = True  # reclaim tombstoned rows with a full compact
+            return
+        if row in self._append_slot or self._pending_add.count(row) == 0:
+            self._pending_dead.append(row)
+        # rows still waiting in _pending_add are dropped before upload
+        self._pending_add = [r for r in self._pending_add if r != row]
 
     def delete(self, ids: list[str] | None = None, where: dict | None = None) -> int:
         """Delete by explicit ids and/or metadata equality (parity with
@@ -151,6 +248,7 @@ class FlatIndex:
                 row = self._id_to_row.pop(i, None)
                 if row is not None:
                     self._alive[row] = False
+                    self._note_dead(row)
                     n += 1
             if where:
                 for row, meta in enumerate(self._metadatas):
@@ -159,13 +257,18 @@ class FlatIndex:
                     if all(str(meta.get(k)) == str(v) for k, v in where.items()):
                         self._alive[row] = False
                         self._id_to_row.pop(self._ids[row], None)
+                        self._note_dead(row)
                         n += 1
-            if n:
-                self._dirty = True
         return n
 
     def count(self) -> int:
         return int(self._alive.sum())
+
+    def compact(self) -> None:
+        """Force a full device-snapshot rebuild on the next search: reclaims
+        tombstoned rows' HBM and (for IVF) re-clusters absorbed appends."""
+        with self._lock:
+            self._dirty = True
 
     def get(self, id_: str) -> dict | None:
         row = self._id_to_row.get(id_)
@@ -200,7 +303,7 @@ class FlatIndex:
         canon[:n] = self._canon[live]
 
         snap: dict[str, Any] = {
-            "rows": live,                      # device row -> host row
+            "rows": live,                      # device row -> host row (ascending)
             "ns": jnp.asarray(ns),
             "canon": jnp.asarray(canon),
             "n": n,
@@ -216,14 +319,107 @@ class FlatIndex:
             jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             snap["vectors"] = jnp.asarray(vecs, dtype=jdt)
             snap["scales"] = None
+        if self.incremental:
+            self._alloc_append_block(snap)
         return snap
+
+    def _alloc_append_block(self, snap: dict[str, Any]) -> None:
+        """Attach an empty fixed-capacity append block to a fresh snapshot."""
+        cap = self.append_capacity
+        jdt = (jnp.int8 if self.dtype == "int8"
+               else jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
+        snap["a_vectors"] = jnp.zeros((cap, self.dim), jdt)
+        snap["a_scales"] = jnp.zeros((cap,), jnp.float32)
+        snap["a_ns"] = jnp.full((cap,), PAD_TAG, jnp.int32)
+        snap["a_canon"] = jnp.full((cap,), PAD_TAG, jnp.int32)
+        snap["a_fill"] = 0
+        self._append_rows = np.full((cap,), -1, np.int64)
+        self._append_slot = {}
 
     def device_snapshot(self) -> dict[str, Any]:
         with self._lock:
             if self._dirty or self._device is None:
                 self._device = self._compact()
                 self._dirty = False
+                self._pending_add.clear()
+                self._pending_dead.clear()
+                self._dead_since_compact = 0
+                self.snapshot_stats["full_rebuilds"] += 1
+                self.snapshot_stats["rows_uploaded_last"] = self._device["n"]
+            elif self._pending_dead or self._pending_add:
+                # copy-on-write: in-flight searches keep a consistent view of
+                # the previous snapshot (and its still-valid buffers)
+                snap = dict(self._device)
+                if self._pending_dead:
+                    self._flush_kills(snap)
+                if self._pending_add:
+                    self._flush_appends(snap)
+                self._device = snap
             return self._device
+
+    def _flush_kills(self, snap: dict[str, Any]) -> None:
+        """Flip tombstoned rows' tags to PAD_TAG in place on device —
+        transfer O(deleted rows), no vector movement."""
+        base_rows, append_rows = [], []
+        for hr in self._pending_dead:
+            slot = self._append_slot.get(hr)
+            if slot is not None:
+                append_rows.append(slot)
+                continue
+            pos = int(np.searchsorted(snap["rows"], hr))
+            if pos < len(snap["rows"]) and snap["rows"][pos] == hr:
+                base_rows.append(pos)
+        self._pending_dead.clear()
+        for target, rows in (("", base_rows), ("a_", append_rows)):
+            if not rows:
+                continue
+            arr = np.asarray(rows, np.int32)
+            for i in range(0, len(arr), KILL_GRANULE):
+                chunk = arr[i:i + KILL_GRANULE]
+                if len(chunk) < KILL_GRANULE:  # pad with a repeat (idempotent set)
+                    chunk = np.concatenate([chunk, np.full(KILL_GRANULE - len(chunk),
+                                                           chunk[0], np.int32)])
+                snap[target + "ns"], snap[target + "canon"] = _kill_tags_device(
+                    snap[target + "ns"], snap[target + "canon"], jnp.asarray(chunk))
+            self.snapshot_stats["incremental_kills"] += len(rows)
+
+    def _flush_appends(self, snap: dict[str, Any]) -> None:
+        """Stream pending host rows into the device append block in fixed
+        APPEND_GRANULE chunks — transfer O(new rows), one compiled updater."""
+        rows = [r for r in self._pending_add if self._alive[r]]
+        self._pending_add.clear()
+        if not rows:
+            return
+        fill = int(snap["a_fill"])
+        uploaded = 0
+        for i in range(0, len(rows), APPEND_GRANULE):
+            chunk_rows = rows[i:i + APPEND_GRANULE]
+            g = len(chunk_rows)
+            vecs = np.zeros((APPEND_GRANULE, self.dim), np.float32)
+            vecs[:g] = self._vectors[chunk_rows]
+            ns = np.full((APPEND_GRANULE,), PAD_TAG, np.int32)
+            canon = np.full((APPEND_GRANULE,), PAD_TAG, np.int32)
+            ns[:g] = self._ns[chunk_rows]
+            canon[:g] = self._canon[chunk_rows]
+            if self.dtype == "int8":
+                vals, scales = _quantize_int8_np(vecs)
+                scales[g:] = 0.0
+            else:
+                vals = vecs.astype(jnp.bfloat16 if self.dtype == "bfloat16" else np.float32)
+                scales = np.ones((APPEND_GRANULE,), np.float32)
+            (snap["a_vectors"], snap["a_scales"], snap["a_ns"],
+             snap["a_canon"]) = _append_chunk_device(
+                snap["a_vectors"], snap["a_scales"], snap["a_ns"], snap["a_canon"],
+                jnp.asarray(vals), jnp.asarray(scales), jnp.asarray(ns),
+                jnp.asarray(canon), jnp.int32(fill))
+            for off, hr in enumerate(chunk_rows):
+                self._append_rows[fill + off] = hr
+                self._append_slot[hr] = fill + off
+            fill += g
+            uploaded += g
+        snap["a_fill"] = fill
+        self.snapshot_stats["incremental_appends"] += 1
+        self.snapshot_stats["rows_uploaded_last"] = uploaded
 
     # ------------------------------------------------------------- search
 
@@ -293,40 +489,75 @@ class FlatIndex:
                          else jnp.ones((snap["vectors"].shape[0],), jnp.float32),
                          snap["ns"], snap["canon"], wants)
         sc, idx = np.asarray(sc), np.asarray(idx)
+        # device rows -> host rows (base snapshot); padded/invalid rows -> -1
+        hrows = self._device_to_host_rows(sc, idx, snap["rows"], snap["n"])
+        if snap.get("a_fill", 0) > 0:
+            sc, hrows = self._merge_append_block(qj, sc, hrows, snap, k_scan, wants)
         if k_scan > k:
-            sc, idx = self._refine_exact(queries, sc, idx, snap, k)
-        return self._to_result(sc, idx, snap)
+            sc, hrows = self._refine_exact(queries, sc, hrows, k)
+        return self._to_result(sc, hrows)
 
-    def _refine_exact(self, queries: np.ndarray, sc: np.ndarray, idx: np.ndarray,
-                      snap: dict[str, Any], k: int) -> tuple[np.ndarray, np.ndarray]:
+    def _search_append_block(self, qj, snap: dict[str, Any], k_scan: int):
+        """Scan the (small) device append block with the cached XLA path."""
+        k_a = min(k_scan, snap["a_fill"])
+        fn = self._xla_fn_cache.get(("append", k_a))
+        if fn is None:
+            fn = jax.jit(lambda q, x, s, ns, canon, w: topk_xla_reference(
+                q, x, k_a, db_scales=s, ns_tags=ns, canon_tags=canon,
+                want_ns=w[0, 0], want_canon=w[0, 1]))
+            self._xla_fn_cache[("append", k_a)] = fn
+        return fn
+
+    def _merge_append_block(self, qj, sc: np.ndarray, hrows: np.ndarray,
+                            snap: dict[str, Any], k_scan: int, wants):
+        """Scan the append block and merge its hits with the base results in
+        host-row space (score-desc, stable)."""
+        fn = self._search_append_block(qj, snap, k_scan)
+        sc_a, idx_a = fn(qj, snap["a_vectors"], snap["a_scales"],
+                         snap["a_ns"], snap["a_canon"], wants)
+        sc_a, idx_a = np.asarray(sc_a), np.asarray(idx_a)
+        hrows_a = np.where(
+            (idx_a >= 0) & np.isfinite(sc_a),
+            self._append_rows[np.clip(idx_a, 0, len(self._append_rows) - 1)], -1)
+        all_sc = np.concatenate([sc, sc_a], axis=1)
+        all_hr = np.concatenate([hrows, hrows_a], axis=1)
+        all_sc = np.where(all_hr >= 0, all_sc, -np.inf)
+        order = np.argsort(-all_sc, kind="stable", axis=1)[:, :k_scan]
+        return (np.take_along_axis(all_sc, order, axis=1),
+                np.take_along_axis(all_hr, order, axis=1))
+
+    @staticmethod
+    def _device_to_host_rows(sc: np.ndarray, idx: np.ndarray,
+                             rows_map: np.ndarray, n: int) -> np.ndarray:
+        valid = (idx >= 0) & (idx < n) & np.isfinite(sc)
+        safe = np.clip(idx, 0, max(n - 1, 0))
+        return np.where(valid, rows_map[safe], -1)
+
+    def _refine_exact(self, queries: np.ndarray, sc: np.ndarray,
+                      hrows: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Re-score the (few) scanned candidates with the exact f32 master
         copy and keep the top k (int8 two-stage refine)."""
-        rows_map = snap["rows"]
         out_sc = np.full((sc.shape[0], k), -np.inf, np.float32)
-        out_idx = np.full((sc.shape[0], k), -1, np.int32)
+        out_hr = np.full((sc.shape[0], k), -1, np.int64)
         for qi in range(sc.shape[0]):
-            valid = (idx[qi] >= 0) & np.isfinite(sc[qi])
-            cand = idx[qi][valid]
+            cand = hrows[qi][(hrows[qi] >= 0) & np.isfinite(sc[qi])]
             if len(cand) == 0:
                 continue
-            host_rows = rows_map[cand]
-            exact = self._vectors[host_rows] @ queries[qi]
+            exact = self._vectors[cand] @ queries[qi]
             order = np.argsort(-exact, kind="stable")[:k]
             out_sc[qi, : len(order)] = exact[order]
-            out_idx[qi, : len(order)] = cand[order]
-        return out_sc, out_idx
+            out_hr[qi, : len(order)] = cand[order]
+        return out_sc, out_hr
 
-    def _to_result(self, sc: np.ndarray, idx: np.ndarray, snap: dict[str, Any]) -> SearchResult:
+    def _to_result(self, sc: np.ndarray, hrows: np.ndarray) -> SearchResult:
         res = SearchResult(ids=[], similarities=[], distances=[], rows=[], metadatas=[], documents=[])
-        rows_map = snap["rows"]
         for qi in range(sc.shape[0]):
             ids_q, sim_q, dist_q, row_q, meta_q, doc_q = [], [], [], [], [], []
             for j in range(sc.shape[1]):
-                r = int(idx[qi, j])
+                host_row = int(hrows[qi, j])
                 s = float(sc[qi, j])
-                if r < 0 or not np.isfinite(s):
+                if host_row < 0 or not np.isfinite(s):
                     continue
-                host_row = int(rows_map[r])
                 ids_q.append(self._ids[host_row])
                 sim_q.append(s)
                 dist_q.append(1.0 - s)

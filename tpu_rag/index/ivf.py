@@ -8,9 +8,14 @@ gather + batched matmul (static shapes, MXU-friendly) instead of a
 pointer-chasing graph walk.
 
 Streaming ingestion without full rebuild (SURVEY.md §7 "hard parts"):
-new rows land in a flat overflow buffer that is searched exactly and merged
-with the IVF candidates; a full re-cluster happens only when the overflow
-exceeds `rebuild_ratio` of the main partition.
+new rows stream into the FlatIndex device append block (transfer O(new),
+see index/flat.py) and are searched exactly alongside the IVF candidates.
+Compactions keep the main partition's device arrays when centroids are
+reusable — only the (small) spill/overflow set is re-uploaded — and a full
+re-cluster happens only when the overflow exceeds `rebuild_ratio` of the
+main partition.  Deletions are host-filtered for main-partition rows (the
+tombstoned rows stop being returned immediately; their HBM slots are
+reclaimed at the next compaction) and tag-killed in place for append rows.
 """
 
 from __future__ import annotations
@@ -89,6 +94,7 @@ class IVFIndex(FlatIndex):
         self.list_cap_factor = list_cap_factor
         self.seed = seed
         self._main_rows: np.ndarray = np.zeros((0,), np.int64)  # host rows in IVF lists
+        self._main_slot_of: np.ndarray = np.zeros((0,), np.int64)  # host row -> list*cap+slot
         self._ov_fn_cache: dict[int, Any] = {}  # jitted overflow search per k
         self._cached_centroids: np.ndarray | None = None  # persisted / last build
         self._centroids_trained_n = 0
@@ -116,19 +122,35 @@ class IVFIndex(FlatIndex):
             main_rows = live
             self._main_rows = live.astype(np.int64)
 
-        if len(main_rows) > 0:
+        prev = self._device
+        reuse_centroids = (
+            self._cached_centroids is not None
+            and self._cached_centroids.shape[1] == self.dim
+            # retrain when the corpus has grown well past what the
+            # centroids were trained on
+            and len(main_rows) <= 2 * max(1, self._centroids_trained_n)
+        )
+        # Main-partition device reuse: if the clustering isn't changing and
+        # the previous snapshot's lists are resident, keep them — no rows of
+        # the main partition cross host->device.  Dead main rows are handled
+        # by the host-side aliveness filter until the next rebuild; rows can
+        # only ENTER main via a rebuild, so the resident lists stay a
+        # superset of live main rows.
+        can_reuse_device = (
+            not need_rebuild and reuse_centroids and prev is not None
+            and prev.get("nlist", 0) > 0
+        )
+        if can_reuse_device:
+            for key in ("vec_lists", "scale_lists", "centroids", "ns_lists",
+                        "canon_lists", "row_lists", "nlist"):
+                snap[key] = prev[key]
+            overflow_mask[np.isin(live, main_rows)] = False
+        elif len(main_rows) > 0:
             from tpu_rag.ops.ivf_build import group_lists
             from tpu_rag.ops.kmeans import assign_clusters
 
             # single corpus upload: k-means and grouping share this array
             x_dev = jnp.asarray(self._vectors[main_rows].astype(np.float32))
-            reuse_centroids = (
-                self._cached_centroids is not None
-                and self._cached_centroids.shape[1] == self.dim
-                # retrain when the corpus has grown well past what the
-                # centroids were trained on
-                and len(main_rows) <= 2 * max(1, self._centroids_trained_n)
-            )
             if reuse_centroids:
                 # persisted / previous centroids: skip k-means, just
                 # re-assign (one pass) — makes reload fast at scale
@@ -145,17 +167,15 @@ class IVFIndex(FlatIndex):
             cap = int(min(counts.max(), max(8, self.list_cap_factor * mean_count)))
             cap = max(8, -(-cap // 8) * 8)
 
-            # live-row position for each main row (vectorized lookup)
-            live_pos_arr = np.full(int(live.max()) + 1 if len(live) else 1, -1, np.int64)
-            live_pos_arr[live] = np.arange(len(live))
-
             # grouping happens on device (tpu_rag/ops/ivf_build.py); only the
-            # small tag/row arrays and the fits mask cross the host boundary
+            # small tag/row arrays and the fits mask cross the host boundary.
+            # row_lists carries HOST rows, so probe results stay valid across
+            # later snapshots (host rows are stable for an index's lifetime).
             vec_lists, ns_lists, canon_lists, row_lists, order, fits = group_lists(
                 x_dev,
                 jnp.asarray(self._ns[main_rows]),
                 jnp.asarray(self._canon[main_rows]),
-                jnp.asarray(live_pos_arr[main_rows].astype(np.int32)),
+                jnp.asarray(main_rows.astype(np.int32)),
                 jnp.asarray(assign),
                 nlist=nlist, cap=cap,
             )
@@ -166,6 +186,16 @@ class IVFIndex(FlatIndex):
             if len(in_lists_rows) < len(main_rows):
                 # spilled rows leave the IVF partition; overflow handles them
                 self._main_rows = np.sort(in_lists_rows).astype(np.int64)
+
+            # host map: main host row -> flattened (list, slot) position, so
+            # later deletions can tag-kill main rows in place on device.
+            # Mirrors the slot math in ops/ivf_build.group_lists.
+            sorted_assign = assign[order_np]
+            starts = np.searchsorted(sorted_assign, np.arange(nlist))
+            slots = np.arange(len(sorted_assign)) - starts[sorted_assign]
+            slot_map = np.full(len(self._ids), -1, np.int64)
+            slot_map[in_lists_rows] = (sorted_assign * cap + slots)[fits_np]
+            self._main_slot_of = slot_map
 
             if self.dtype == "int8":
                 vals, scales = quantize_int8_rows(vec_lists.reshape(-1, self.dim))
@@ -185,20 +215,63 @@ class IVFIndex(FlatIndex):
         else:
             snap["nlist"] = 0
 
-        # Overflow (recently added / cap-spilled) rows searched exactly.
+        # Overflow (cap-spilled / pre-recluster) rows searched exactly.
         ov_rows = live[overflow_mask]
         snap["ov_rows"] = ov_rows
         if len(ov_rows):
             snap["ov_vectors"] = jnp.asarray(self._vectors[ov_rows], jnp.float32)
             snap["ov_ns"] = jnp.asarray(self._ns[ov_rows])
             snap["ov_canon"] = jnp.asarray(self._canon[ov_rows])
-            # overflow-local index -> live-row position, resident on device
-            live_pos = np.full(int(live.max()) + 1 if len(live) else 1, -1, np.int64)
-            live_pos[live] = np.arange(len(live))
-            snap["ov_live"] = jnp.asarray(live_pos[ov_rows].astype(np.int32))
+            # overflow-local index -> host row, resident on device
+            snap["ov_live"] = jnp.asarray(ov_rows.astype(np.int32))
+        if self.incremental:
+            self._alloc_append_block(snap)
         # search functions are snapshot-shape-specific
         self._ov_fn_cache.clear()
         return snap
+
+    def _flush_kills(self, snap: dict[str, Any]) -> None:
+        """IVF deletions tag-kill in place on device, wherever the row lives:
+        the append block, the main inverted lists (via the host slot map), or
+        the exact-overflow buffer.  Transfer is O(deleted rows)."""
+        from tpu_rag.index.flat import (KILL_GRANULE, _kill_tags_2d_device,
+                                        _kill_tags_device)
+
+        append_slots, main_slots, ov_pos = [], [], []
+        ov_rows = snap.get("ov_rows", np.zeros((0,), np.int64))
+        for hr in self._pending_dead:
+            slot = self._append_slot.get(hr)
+            if slot is not None:
+                append_slots.append(slot)
+                continue
+            if hr < len(self._main_slot_of) and self._main_slot_of[hr] >= 0:
+                main_slots.append(int(self._main_slot_of[hr]))
+                continue
+            pos = int(np.searchsorted(ov_rows, hr))
+            if pos < len(ov_rows) and ov_rows[pos] == hr:
+                ov_pos.append(pos)
+        self._pending_dead.clear()
+
+        def chunked(rows):
+            arr = np.asarray(rows, np.int32)
+            for i in range(0, len(arr), KILL_GRANULE):
+                chunk = arr[i:i + KILL_GRANULE]
+                if len(chunk) < KILL_GRANULE:  # pad with a repeat (idempotent set)
+                    chunk = np.concatenate([chunk, np.full(KILL_GRANULE - len(chunk),
+                                                           chunk[0], np.int32)])
+                yield jnp.asarray(chunk)
+
+        for chunk in chunked(append_slots):
+            snap["a_ns"], snap["a_canon"] = _kill_tags_device(
+                snap["a_ns"], snap["a_canon"], chunk)
+        for chunk in chunked(ov_pos):
+            snap["ov_ns"], snap["ov_canon"] = _kill_tags_device(
+                snap["ov_ns"], snap["ov_canon"], chunk)
+        for chunk in chunked(main_slots):
+            snap["ns_lists"], snap["canon_lists"] = _kill_tags_2d_device(
+                snap["ns_lists"], snap["canon_lists"], chunk)
+        self.snapshot_stats["incremental_kills"] += (
+            len(append_slots) + len(main_slots) + len(ov_pos))
 
     # ------------------------------------------------------------- search
 
@@ -255,10 +328,14 @@ class IVFIndex(FlatIndex):
             args += [snap["ov_vectors"], snap["ov_ns"], snap["ov_canon"],
                      snap["ov_live"]]
         sc, rows = fn(*args)
-        sc, rows = np.asarray(sc), np.asarray(rows)
+        # rows are HOST rows (row_lists/ov_live carry host row ids)
+        sc, hrows = np.asarray(sc), np.asarray(rows).astype(np.int64)
+        hrows = np.where(np.isfinite(sc), hrows, -1)
+        if snap.get("a_fill", 0) > 0:
+            sc, hrows = self._merge_append_block(qj, sc, hrows, snap, k_scan, wants)
         if k_scan > k:
-            sc, rows = self._refine_exact(queries, sc, rows, snap, k)
-        return self._to_result(sc, rows, snap)
+            sc, hrows = self._refine_exact(queries, sc, hrows, k)
+        return self._to_result(sc, hrows)
 
     def _build_search_fn(self, k: int, nprobe: int, have_main: bool, have_ov: bool):
         """Fused device-side probe + exact-overflow + merge, jitted."""

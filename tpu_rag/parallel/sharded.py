@@ -80,6 +80,10 @@ class ShardedFlatIndex(FlatIndex):
         self.mesh = mesh
         self.axis = axis
         self._search_fns: dict[int, Any] = {}
+        # incremental append blocks are a single-device mechanism; sharded
+        # snapshots re-distribute on mutation (per-shard append blocks land
+        # with ShardedIVFIndex-style reshard support)
+        self.incremental = False
 
     def _mesh(self) -> Mesh:
         if self.mesh is None:
@@ -150,12 +154,18 @@ class ShardedFlatIndex(FlatIndex):
             fn = make_sharded_search(self._mesh(), k=k_scan, use_pallas=self.use_pallas,
                                      axis=self.axis, mode=self.search_mode)
             self._search_fns[k_scan] = fn
-        wants = jnp.array([want_ns, want_canon], jnp.int32)
+        # cache the filter pair on device — a fresh host->device transfer per
+        # search costs a full RTT on tunneled backends (same as FlatIndex)
+        wants = self._wants_cache.get(("sharded", want_ns, want_canon))
+        if wants is None:
+            wants = jnp.array([want_ns, want_canon], jnp.int32)
+            self._wants_cache[("sharded", want_ns, want_canon)] = wants
         sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
                      snap["ns"], snap["canon"], wants)
         sc, gid = np.asarray(sc), np.asarray(gid)
+        # padding rows sit at the end of the padded array, so a global padded
+        # index < n equals the live-row position directly
+        hrows = self._device_to_host_rows(sc, gid, snap["rows"], snap["n"])
         if k_scan > k:
-            # padding rows sit at the end of the padded array, so a global
-            # padded index < n equals the live-row position directly
-            sc, gid = self._refine_exact(queries, sc, gid, snap, k)
-        return self._to_result(sc, gid, snap)
+            sc, hrows = self._refine_exact(queries, sc, hrows, k)
+        return self._to_result(sc, hrows)
