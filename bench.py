@@ -26,7 +26,7 @@ PREFLIGHT_SECONDS = int(os.getenv("BENCH_PALLAS_PREFLIGHT_S", "240"))
 _PREFLIGHT_SNIPPET = r"""
 import sys
 sys.path.insert(0, {repo!r})
-import numpy as np, jax.numpy as jnp
+import numpy as np, jax, jax.numpy as jnp
 from tpu_rag.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 from tpu_rag.ops import PAD_TAG, fused_matmul_topk
@@ -38,9 +38,12 @@ x = jnp.zeros((n_pad, d), jnp.bfloat16)
 t = jnp.zeros((n_pad,), jnp.int32)
 q = jnp.zeros(({qbatch}, d), jnp.bfloat16)
 w = jnp.array([[-1, -1]], jnp.int32)
-sc, _ = fused_matmul_topk(q, x, k, ns_tags=t, canon_tags=t, wants=w,
-                          assume_padded=True, block_n=bn)
-np.asarray(sc)
+for mode in ("exact", "bucketed"):
+    fn = jax.jit(lambda q, xx, t, w, m=mode: fused_matmul_topk(
+        q, xx, k, ns_tags=t, canon_tags=t, wants=w,
+        assume_padded=True, block_n=bn, mode=m))
+    sc, _ = fn(q, x, t, w)
+    np.asarray(sc)
 print("PALLAS_OK")
 """
 
@@ -166,12 +169,16 @@ def main() -> None:
     results: dict[str, tuple[float, float]] = {}
     results["xla_fused"] = measure(lambda: xla_fn(qj, xj, tj))
     if use_pallas:
-        results["pallas_fused"] = measure(lambda: fused_matmul_topk(
-            qj, xj, k, ns_tags=tj, canon_tags=tj, wants=wants,
+        # outer-jitted, like FlatIndex.search: pallas_call + glue + merge
+        # top_k in ONE executable -> one dispatch per search
+        pallas_exact = jax.jit(lambda q, xx, t, w: fused_matmul_topk(
+            q, xx, k, ns_tags=t, canon_tags=t, wants=w,
             assume_padded=True, block_n=bn))
-        results["pallas_bucketed"] = measure(lambda: fused_matmul_topk(
-            qj, xj, k, ns_tags=tj, canon_tags=tj, wants=wants,
+        pallas_bucketed = jax.jit(lambda q, xx, t, w: fused_matmul_topk(
+            q, xx, k, ns_tags=t, canon_tags=t, wants=w,
             assume_padded=True, block_n=bn, mode="bucketed"))
+        results["pallas_fused"] = measure(lambda: pallas_exact(qj, xj, tj, wants))
+        results["pallas_bucketed"] = measure(lambda: pallas_bucketed(qj, xj, tj, wants))
 
     # headline = fastest EXACT path; the approximate bucketed path is
     # reported alongside in paths_qps (with its measured recall)

@@ -78,6 +78,8 @@ class Config:
     port: int = 8000
     debug_prompts: bool = False
     warmup: bool = False                # compile encoder+search at startup
+    microbatch: bool = True             # aggregate concurrent /search embeds+scans
+    microbatch_max: int = 64            # max queries fused into one device pass
 
     @property
     def auth_enabled(self) -> bool:
@@ -143,4 +145,6 @@ def config_from_env(dotenv: str | None = None) -> Config:
         port=env_int("PORT", d.port),
         debug_prompts=env_bool("DEBUG_PROMPTS", d.debug_prompts),
         warmup=env_bool("WARMUP", d.warmup),
+        microbatch=env_bool("MICROBATCH", d.microbatch),
+        microbatch_max=env_int("MICROBATCH_MAX", d.microbatch_max),
     )

@@ -60,6 +60,14 @@ class RagEngine:
         self._qvec_cache: "OrderedDict[str, object]" = OrderedDict()
         self._qvec_lock = threading.Lock()
         self._qvec_cache_size = 1024
+        # cross-request micro-batching: concurrent query_vector calls fuse
+        # into one encoder forward + one index scan (utils/microbatch.py)
+        self._microbatcher = None
+        if self.config.microbatch:
+            from tpu_rag.utils.microbatch import MicroBatcher
+            self._microbatcher = MicroBatcher(
+                self._run_vector_batch, max_batch=self.config.microbatch_max,
+                name="vector_microbatch")
         self.indexer = DocIndexer(
             self.config.kb_db_path,
             embed_fn=self.embed,
@@ -166,29 +174,75 @@ class RagEngine:
 
     # ------------------------------------------------------------ retrieval
 
+    def _qvec_cached(self, key: str):
+        with self._qvec_lock:
+            qv = self._qvec_cache.get(key)
+            if qv is not None:
+                self._qvec_cache.move_to_end(key)
+            return qv
+
+    def _qvec_store(self, key: str, qv) -> None:
+        with self._qvec_lock:
+            self._qvec_cache[key] = qv
+            while len(self._qvec_cache) > self._qvec_cache_size:
+                self._qvec_cache.popitem(last=False)
+
     def query_vector(self, query: str, k: int, namespace: str | None,
                      canonicality: str | None, timings: StageTimings | None = None) -> list[dict]:
         """Embed + index search shaped like the reference's _query_chroma
-        (reference api/app.py:539-566); failures degrade to empty hits."""
+        (reference api/app.py:539-566); failures degrade to empty hits.
+        With microbatching on, concurrent calls fuse into one device pass."""
         t = timings or StageTimings()
         try:
+            if self._microbatcher is not None:
+                with t.stage("vector_search"):
+                    return self._microbatcher.submit((query, k, namespace, canonicality))
             with t.stage("embed"):
                 key = hashlib.md5(query.encode("utf-8")).hexdigest()
-                with self._qvec_lock:
-                    qv = self._qvec_cache.get(key)
-                    if qv is not None:
-                        self._qvec_cache.move_to_end(key)
+                qv = self._qvec_cached(key)
                 if qv is None:
                     qv = self.embed([query])
-                    with self._qvec_lock:
-                        self._qvec_cache[key] = qv
-                        while len(self._qvec_cache) > self._qvec_cache_size:
-                            self._qvec_cache.popitem(last=False)
+                    self._qvec_store(key, qv)
             with t.stage("vector_search"):
                 return vector_hits(self.index, qv, k, namespace, canonicality)
         except Exception as e:
             logger.warning("vector query failed: %s", e)
             return []
+
+    def _run_vector_batch(self, items: list[tuple]) -> list[list[dict]]:
+        """MicroBatcher callback: one encoder forward for all cache-miss
+        queries, then one index scan per distinct (k, namespace,
+        canonicality) group (usually a single group)."""
+        import numpy as np
+
+        from tpu_rag.retrieval.hybrid import vector_hits_batch
+
+        keys = [hashlib.md5(q.encode("utf-8")).hexdigest() for q, *_ in items]
+        vecs: dict[str, object] = {}
+        for key in set(keys):
+            qv = self._qvec_cached(key)
+            if qv is not None:
+                vecs[key] = qv
+        missing_keys, missing_texts = [], []
+        for (q, *_), key in zip(items, keys):
+            if key not in vecs and key not in missing_keys:
+                missing_keys.append(key)
+                missing_texts.append(q)
+        if missing_texts:
+            emb = np.asarray(self.embed(missing_texts))
+            for key, v in zip(missing_keys, emb):
+                vecs[key] = v[None, :]
+                self._qvec_store(key, v[None, :])
+
+        groups: dict[tuple, list[int]] = {}
+        for i, (_, k, ns, canon) in enumerate(items):
+            groups.setdefault((k, ns, canon), []).append(i)
+        results: list[list[dict]] = [[] for _ in items]
+        for (k, ns, canon), idxs in groups.items():
+            qmat = np.concatenate([np.atleast_2d(vecs[keys[i]]) for i in idxs], axis=0)
+            for i, hits in zip(idxs, vector_hits_batch(self.index, qmat, k, ns, canon)):
+                results[i] = hits
+        return results
 
     def query_vector_batch(self, queries: list[str], k: int, namespace: str | None,
                            canonicality: str | None) -> list[list[dict]]:

@@ -318,7 +318,9 @@ class FlatIndex:
         else:
             jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             snap["vectors"] = jnp.asarray(vecs, dtype=jdt)
-            snap["scales"] = None
+            # resident ones: both search paths take scales as a traced arg
+            # (a per-call jnp.ones would cost one dispatch per search)
+            snap["scales"] = jnp.ones((n_pad,), jnp.float32)
         if self.incremental:
             self._alloc_append_block(snap)
         return snap
@@ -466,27 +468,27 @@ class FlatIndex:
             wants = jnp.array([[want_ns, want_canon]], jnp.int32)
             self._wants_cache[(want_ns, want_canon)] = wants
         if self.use_pallas and snap["n_pad"] >= self.pallas_min_rows:
-            sc, idx = fused_matmul_topk(
-                qj, snap["vectors"], k_scan,
-                db_scales=snap["scales"],
-                ns_tags=snap["ns"], canon_tags=snap["canon"],
-                wants=wants,
-                block_n=snap["bn"],
-                assume_padded=True,
-                mode=self.search_mode,
-            )
+            # one jitted callable per (k, tile, mode): the pallas_call, its
+            # padding/slicing glue, and the final merge top_k compile into a
+            # SINGLE executable -> one dispatch per search (eager glue ops
+            # each cost a dispatch, which dominates at small corpora)
+            pfn = self._xla_fn_cache.get(("pallas", k_scan, snap["bn"], self.search_mode))
+            if pfn is None:
+                mode, bn = self.search_mode, snap["bn"]
+                pfn = jax.jit(lambda q, x, s, ns, canon, w: fused_matmul_topk(
+                    q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
+                    wants=w, block_n=bn, assume_padded=True, mode=mode))
+                self._xla_fn_cache[("pallas", k_scan, snap["bn"], self.search_mode)] = pfn
+            sc, idx = pfn(qj, snap["vectors"], snap["scales"],
+                          snap["ns"], snap["canon"], wants)
         else:
-            import jax
-
             fn = self._xla_fn_cache.get(k_scan)
             if fn is None:
                 fn = jax.jit(lambda q, x, s, ns, canon, w: topk_xla_reference(
                     q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
                     want_ns=w[0, 0], want_canon=w[0, 1]))
                 self._xla_fn_cache[k_scan] = fn
-            sc, idx = fn(qj, snap["vectors"],
-                         snap["scales"] if snap["scales"] is not None
-                         else jnp.ones((snap["vectors"].shape[0],), jnp.float32),
+            sc, idx = fn(qj, snap["vectors"], snap["scales"],
                          snap["ns"], snap["canon"], wants)
         sc, idx = np.asarray(sc), np.asarray(idx)
         # device rows -> host rows (base snapshot); padded/invalid rows -> -1
