@@ -171,3 +171,15 @@ def test_bucketed_with_filter():
                                 ns_tags=jnp.array(ns), want_ns=1, mode="bucketed")
     picked = np.array(ids)
     assert set(ns[picked[np.isfinite(np.array(sc))].ravel()]) <= {1}
+
+
+def test_query_batches_beyond_qp_max_are_chunked():
+    """Query batches larger than QP_MAX split into multiple kernel calls
+    with results identical to the unchunked reference."""
+    from tpu_rag.ops.topk import QP_MAX
+
+    qs, x = _make(n=2000, q=QP_MAX + 37, seed=6)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 5)
+    ref_sc, ref_ids = _numpy_topk(qs, x, 5)
+    assert np.array(ids).shape == (QP_MAX + 37, 5)
+    assert np.array_equal(np.array(ids), ref_ids)

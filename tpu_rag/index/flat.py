@@ -120,11 +120,12 @@ class FlatIndex:
         self.use_pallas = use_pallas
         self.block_n = block_n
         self.search_mode = search_mode
-        # measured on v5e: the XLA-fused path wins below ~2M rows (per-call
-        # dispatch overhead dominates), the Pallas kernel wins above
-        # (630 vs 525 GB/s at 10M). use_pallas=True picks automatically;
-        # set pallas_min_rows=0 to force the Pallas kernel always.
-        self.pallas_min_rows = 2_000_000
+        # measured on v5e: with the outer-jitted single-dispatch path the
+        # Pallas kernel matches XLA at 100K rows (round 1's 3x gap was eager
+        # glue dispatches) and wins at 10M (630 vs 525 GB/s).  Below ~100K
+        # the corpus fits one tile and XLA's fusion is already optimal.
+        # use_pallas=True picks automatically; 0 forces Pallas always.
+        self.pallas_min_rows = 100_000
         # int8 two-stage refine: scan int8 for refine_factor*k candidates,
         # then exactly re-score those few rows with the f32 master copy
         # (recall 0.934 -> ~bf16-level at int8 scan cost). 0 disables.
@@ -459,7 +460,7 @@ class FlatIndex:
         # churns near-ties — measured as recall noise on clustered data
         # where the rank-10/11 score gap is ~3e-4.)
         k_scan = k
-        if self.dtype == "int8" and self.refine_factor > 0:
+        if self.dtype in ("int8", "bfloat16") and self.refine_factor > 0:
             k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
         # cache the filter pair as a device array: a fresh host->device
         # transfer per search costs a full RTT on tunneled backends

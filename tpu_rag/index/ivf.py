@@ -312,7 +312,7 @@ class IVFIndex(FlatIndex):
         have_ov = len(snap["ov_rows"]) > 0
         # int8 two-stage refine (same as FlatIndex)
         k_scan = k
-        if self.dtype == "int8" and self.refine_factor > 0:
+        if self.dtype in ("int8", "bfloat16") and self.refine_factor > 0:
             k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
         key = (k_scan, nprobe, have_main, have_ov,
                snap["nlist"], len(snap["ov_rows"]))

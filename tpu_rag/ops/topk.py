@@ -43,14 +43,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Queries per kernel invocation: the (QP, BN) f32 score buffers live in VMEM
+# alongside the DB tile, so QP is capped and larger query batches are chunked
+# into multiple kernel calls (the DB tile re-streams per chunk — acceptable:
+# chunks of 64 queries amortize the scan well past the knee).
+QP_MAX = 64
+
+
 def default_block_n(dim: int, dtype_bytes: int, requested: int = 8192) -> int:
-    """Pick a DB tile height that keeps the tile ~<=6MB of VMEM (the grid
-    pipeline double-buffers, so ~12MB of the ~16MB VMEM goes to DB tiles),
-    rounded to a multiple of 256.  Bigger tiles measured faster
-    monotonically at 10M rows (4096: 20ms, 5376: 14.6ms, 8064: 13.0ms in
-    one run); 8MB tiles exceed VMEM and fail to compile."""
-    budget = 6 * 1024 * 1024
-    bn = min(requested, max(256, budget // max(1, dim * dtype_bytes)))
+    """Pick a DB tile height that fits VMEM alongside the score buffers:
+    ~<=6MB for the (double-buffered) DB tile and ~4MB for the (QP_MAX, BN)
+    f32 score/transpose temporaries, rounded to a multiple of 256.  Bigger
+    tiles measured faster monotonically at 10M rows (4096: 20ms, 5376:
+    14.6ms, 8064: 13.0ms in one qp=8 run), but qp=64 with bn=8192 blows the
+    16MB scoped-vmem limit, so the score budget binds at 5376."""
+    tile_budget = 6 * 1024 * 1024
+    score_budget = 4 * 1024 * 1024
+    bn = min(requested,
+             max(256, tile_budget // max(1, dim * dtype_bytes)),
+             max(256, score_budget // (QP_MAX * 12)))
     return max(256, (bn // 256) * 256)
 
 
@@ -298,6 +309,17 @@ def fused_matmul_topk(
 
     n, d = database.shape
     q = queries.shape[0]
+    if q > QP_MAX:
+        # chunk large query batches: VMEM holds at most QP_MAX queries' score
+        # buffers per kernel call (static python loop — fine under jit)
+        parts = [fused_matmul_topk(
+            queries[i:i + QP_MAX], database, k, db_scales=db_scales,
+            ns_tags=ns_tags, canon_tags=canon_tags, want_ns=want_ns,
+            want_canon=want_canon, block_n=block_n, interpret=interpret,
+            assume_padded=assume_padded, wants=wants, mode=mode)
+            for i in range(0, q, QP_MAX)]
+        return (jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0))
     is_int8 = database.dtype == jnp.int8
     dtype_bytes = 1 if is_int8 else database.dtype.itemsize
     bn = default_block_n(d, dtype_bytes, block_n)
