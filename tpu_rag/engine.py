@@ -142,6 +142,20 @@ class RagEngine:
     def _load_or_create_index(self):
         p = self._index_path()
         if (p / MANIFEST).is_file():
+            import jax
+
+            if jax.process_count() > 1:
+                # multi-host slice: each process loads only its row shard
+                # (read-only serving; re-shard by rebuilding the store)
+                from tpu_rag.parallel.distributed import load_sharded_flat_distributed
+                try:
+                    return load_sharded_flat_distributed(
+                        p, mesh=self._mesh(), dtype=self.config.index_dtype,
+                        use_pallas=self.config.use_pallas,
+                        block_n=self.config.block_n)
+                except Exception as e:
+                    logger.warning("distributed index load failed (%s); "
+                                   "falling back to replicated load", e)
             try:
                 loaded = load_index(p, use_pallas=self.config.use_pallas,
                                     block_n=self.config.block_n)

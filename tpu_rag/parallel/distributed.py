@@ -38,3 +38,124 @@ def maybe_init_distributed() -> bool:
     logger.info("jax.distributed initialized: process %s of %s",
                 jax.process_index(), jax.process_count())
     return True
+
+
+def device_row_bounds(n_pad: int) -> tuple[int, int]:
+    """Row range [lo, hi) of a length-n_pad row-sharded array owned by THIS
+    process, assuming the mesh enumerates jax.devices() in default order
+    (process-major) and n_pad divides evenly by the global device count."""
+    import jax
+
+    rows_per_device = n_pad // jax.device_count()
+    local = jax.local_device_count()
+    lo = jax.process_index() * local * rows_per_device
+    return lo, lo + local * rows_per_device
+
+
+def load_sharded_flat_distributed(path, *, mesh=None, axis: str = "data",
+                                  dtype: str = "bfloat16", use_pallas: bool = True,
+                                  block_n: int = 8192):
+    """Multi-host load of a persisted flat index (SURVEY.md §2.5 DCN row).
+
+    Each process reads ONLY its row range of vectors.f32 (np.memmap — the
+    other hosts' rows never leave disk) and contributes it to the global
+    row-sharded device array via jax.make_array_from_process_local_data;
+    XLA routes the search's all_gather over ICI within a host and DCN
+    across hosts.  ids/metadata/documents replicate on every host (they are
+    needed to assemble results and are small next to the vectors).
+
+    The returned index is READ-ONLY: multi-host mutation requires a
+    coordinated re-shard — rebuild the store (save_index on one host, or
+    from DOCS_DIR) and reload.  Single-process callers get the same layout
+    on one host, so this path is testable without a pod.
+    """
+    import json as _json
+    from pathlib import Path
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpu_rag.index.store import MANIFEST
+    from tpu_rag.ops.topk import PAD_TAG
+    from tpu_rag.parallel.mesh import mesh_from_spec
+    from tpu_rag.parallel.sharded import ShardedFlatIndex
+
+    p = Path(path)
+    manifest = _json.loads((p / MANIFEST).read_text(encoding="utf-8"))
+    n, dim = manifest["count"], manifest["dim"]
+    mesh = mesh or mesh_from_spec("")
+    d_ax = mesh.shape[axis]
+
+    class _DistributedFlatIndex(ShardedFlatIndex):
+        kind = "dist_flat"
+        _READONLY_MSG = ("distributed index is read-only on multi-host: "
+                         "mutations need a coordinated re-shard — rebuild the "
+                         "store and reload (see parallel/distributed.py)")
+
+        def add(self, *a, **k):
+            raise RuntimeError(self._READONLY_MSG)
+
+        upsert = add
+
+        def delete(self, *a, **k):
+            raise RuntimeError(self._READONLY_MSG)
+
+    idx = _DistributedFlatIndex(dim, mesh=mesh, axis=axis, dtype=dtype,
+                                use_pallas=use_pallas, block_n=block_n)
+    # replicated result-assembly state (every host can answer any hit)
+    idx._ids = _json.loads((p / manifest["files"]["ids"]).read_text(encoding="utf-8"))
+    idx._metadatas = [_json.loads(line) for line in
+                      (p / manifest["files"]["meta"]).read_text(encoding="utf-8").splitlines() if line]
+    idx._documents = [_json.loads(line) for line in
+                      (p / manifest["files"]["docs"]).read_text(encoding="utf-8").splitlines() if line]
+    idx._alive = np.ones(n, bool)
+    idx._id_to_row = {i: r for r, i in enumerate(idx._ids)}
+    idx._ns = np.array([idx.ns_vocab.intern(str(m.get("namespace", "")))
+                        for m in idx._metadatas], np.int32)
+    idx._canon = np.array([idx.canon_vocab.intern(str(m.get("canonicality", "")))
+                           for m in idx._metadatas], np.int32)
+    # exact-refine master copy: memmap — reads page in only the few rows the
+    # refine touches, never the whole corpus
+    idx._vectors = np.memmap(p / manifest["files"]["vectors"], dtype=np.float32,
+                             mode="r", shape=(n, dim))
+
+    # padded global layout (same as ShardedFlatIndex._compact)
+    unit = jax.device_count() * 256
+    n_pad = max(unit, -(-n // unit) * unit)
+    lo, hi = device_row_bounds(n_pad)
+    local_rows = np.arange(lo, min(hi, n))
+    local = np.zeros((hi - lo, dim), np.float32)
+    if len(local_rows):
+        local[: len(local_rows)] = idx._vectors[lo:lo + len(local_rows)]
+    ns_local = np.full((hi - lo,), PAD_TAG, np.int32)
+    canon_local = np.full((hi - lo,), PAD_TAG, np.int32)
+    if len(local_rows):
+        ns_local[: len(local_rows)] = idx._ns[local_rows]
+        canon_local[: len(local_rows)] = idx._canon[local_rows]
+
+    def put(arr, spec):
+        sharding = NamedSharding(mesh, spec)
+        global_shape = (n_pad,) + arr.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, arr, global_shape)
+
+    snap = {"rows": np.arange(n), "n": n, "n_pad": n_pad}
+    if dtype == "int8":
+        from tpu_rag.index.flat import _quantize_int8_np
+        vals, scales = _quantize_int8_np(local)
+        scales[len(local_rows):] = 0.0
+        snap["vectors"] = put(vals, P(axis, None))
+        snap["scales"] = put(scales.astype(np.float32), P(axis))
+    else:
+        jdt = jnp.bfloat16 if dtype == "bfloat16" else np.float32
+        snap["vectors"] = put(local.astype(jdt), P(axis, None))
+        snap["scales"] = put(np.ones((hi - lo,), np.float32), P(axis))
+    snap["ns"] = put(ns_local, P(axis))
+    snap["canon"] = put(canon_local, P(axis))
+    idx._device = snap
+    idx._dirty = False
+    logger.info("distributed load: process %s owns rows [%d, %d) of %d",
+                jax.process_index(), lo, hi, n_pad)
+    return idx
