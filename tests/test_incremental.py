@@ -172,3 +172,26 @@ def test_ivf_incremental_matches_fresh_rebuild():
     a = inc.search(qs, 5)
     b = fresh.search(qs, 5)
     assert a.ids == b.ids
+
+
+def test_int8_refine_recall_gate():
+    """BASELINE quality bar: int8 storage (0.25x f32 memory) + two-stage f32
+    refine must hold recall@10 >= 0.99 vs exact f32 on clustered data."""
+    rng = np.random.default_rng(0)
+    n, d, k = 20_000, 128, 10
+    centers = rng.standard_normal((64, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 64, n)]
+         + 0.25 * rng.standard_normal((n, d))).astype(np.float32)
+    q = (centers[rng.integers(0, 64, 24)]
+         + 0.25 * rng.standard_normal((24, d))).astype(np.float32)
+    ids = [str(i) for i in range(n)]
+    exact = FlatIndex(d, dtype="float32", use_pallas=False)
+    exact.add(ids, x)
+    for dtype in ("int8", "bfloat16"):
+        idx = FlatIndex(d, dtype=dtype, use_pallas=False)
+        idx.add(ids, x)
+        gt = exact.search(q, k)
+        r = idx.search(q, k)
+        rec = np.mean([len(set(r.ids[i]) & set(gt.ids[i])) / k
+                       for i in range(len(q))])
+        assert rec >= 0.99, f"{dtype} recall@10 {rec:.4f} below the 0.99 bar"
