@@ -48,3 +48,32 @@ def test_dp_embed_matches_single_device():
     e2 = sharded.embed(texts)
     np.testing.assert_allclose(e1, e2, atol=1e-5)
     assert e2.shape == (20, 64)
+
+
+def test_tp_embed_matches_single_device():
+    """TP serving (SURVEY.md §2.5 "shard encoder matmuls over ICI mesh
+    axis"): a dp x tp mesh must produce the same embeddings as one device —
+    XLA inserts the collectives for the model-sharded FFN/attention matmuls."""
+    spec = BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128, max_len=64)
+    single = BiEncoder(spec=spec, seq_len=32, batch=8)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), axis_names=("data", "model"))
+    tp = BiEncoder(spec=spec, seq_len=32, batch=8, mesh=mesh)
+
+    # params actually live sharded over the model axis (not replicated)
+    ffn_kernel = tp.params["layer_0"]["intermediate"]["kernel"]
+    assert ffn_kernel.sharding.spec == (None, "model"), ffn_kernel.sharding
+
+    texts = [f"sentence number {i} about topic {i % 3}" for i in range(20)]
+    e1 = single.embed(texts)
+    e2 = tp.embed(texts)
+    np.testing.assert_allclose(e1, e2, atol=1e-5)
+
+
+def test_tp_only_mesh_embed():
+    """A pure model-parallel mesh (no data axis) also serves correctly."""
+    spec = BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128, max_len=64)
+    single = BiEncoder(spec=spec, seq_len=32, batch=8)
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("model",))
+    tp = BiEncoder(spec=spec, seq_len=32, batch=8, mesh=mesh)
+    texts = ["tensor parallel serving", "of a small encoder"]
+    np.testing.assert_allclose(single.embed(texts), tp.embed(texts), atol=1e-5)

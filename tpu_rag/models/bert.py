@@ -81,6 +81,39 @@ class BertEncoder(nn.Module):
         return x
 
 
+def param_partition_spec(path: tuple, leaf):
+    """Tensor-parallel rules for BertEncoder params: shard the FFN hidden
+    dim and the attention heads over a mesh "model" axis.  Used by both the
+    trainer (tpu_rag/train/contrastive.py) and TP serving (BiEncoder with a
+    mesh that has a model axis).  Embeddings, LayerNorms and 1-d biases are
+    replicated — they are tiny next to the sharded matmuls."""
+    from jax.sharding import PartitionSpec as P
+
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    if "intermediate" in joined and joined.endswith("kernel"):
+        return P(None, "model")          # (H, F) -> F sharded
+    if joined.endswith("output/kernel") and "attention" not in joined:
+        return P("model", None)          # (F, H) -> F sharded
+    if "attention" in joined and joined.endswith("kernel"):
+        if "out" in joined.split("/")[-2]:
+            return P("model", None, None)  # (heads, head_dim, H)
+        return P(None, "model", None)      # (H, heads, head_dim)
+    if "attention" in joined and joined.endswith("bias") and leaf.ndim == 2:
+        return P("model", None)            # qkv bias (heads, head_dim)
+    return P()  # replicate embeddings, LN, 1-d biases
+
+
+def make_param_shardings(mesh, params):
+    import jax
+    from jax.sharding import NamedSharding
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_partition_spec(path, leaf)),
+        params,
+    )
+
+
 def mean_pool(hidden, mask):
     """Masked mean pooling over tokens (sentence-transformers style)."""
     m = mask[:, :, None].astype(hidden.dtype)

@@ -75,8 +75,11 @@ class BiEncoder:
         spec: BertSpec | None = None,
         mesh=None,
     ) -> None:
-        """mesh: optional jax.sharding.Mesh with a "data" axis — embed batches
-        are sharded across it (DP ingest throughput; SURVEY.md §2.5)."""
+        """mesh: optional jax.sharding.Mesh.  A "data" axis shards embed
+        batches across it (DP ingest throughput; SURVEY.md §2.5).  A "model"
+        axis of size > 1 additionally shards the encoder matmuls (FFN hidden
+        dim + attention heads) for tensor-parallel serving of large encoders
+        (bge-base class) — XLA inserts the ICI collectives."""
         self.model_name = model_name
         self.spec = spec or spec_for_model(model_name)
         self.seq_len = seq_len
@@ -86,14 +89,22 @@ class BiEncoder:
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.spec.vocab_size)
         self.module = BertEncoder(self.spec, dtype=self.compute_dtype)
         self.params = self._init_params(weights_path)
+        self._param_shardings = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            unit = mesh.shape["data"]
+            unit = mesh.shape.get("data", 1)
             self.batch = -(-self.batch // unit) * unit  # divisible by the data axis
-            rep = NamedSharding(mesh, P())
-            self.params = jax.device_put(
-                self.params, jax.tree_util.tree_map(lambda _: rep, self.params))
+            if mesh.shape.get("model", 1) > 1:
+                # TP serving: matmul weights sharded over "model"
+                from tpu_rag.models.bert import make_param_shardings
+
+                self._param_shardings = make_param_shardings(mesh, self.params)
+            else:
+                rep = NamedSharding(mesh, P())
+                self._param_shardings = jax.tree_util.tree_map(
+                    lambda _: rep, self.params)
+            self.params = jax.device_put(self.params, self._param_shardings)
         self._jit_cache: dict[tuple[int, int], any] = {}
 
     @property
@@ -129,12 +140,11 @@ class BiEncoder:
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                rep = NamedSharding(self.mesh, P())
-                shard = NamedSharding(self.mesh, P("data", None))
+                batch_axis = "data" if self.mesh.shape.get("data", 1) > 1 else None
+                shard = NamedSharding(self.mesh, P(batch_axis, None))
                 fn = jax.jit(
                     fwd_impl,
-                    in_shardings=(jax.tree_util.tree_map(lambda _: rep, self.params),
-                                  shard, shard),
+                    in_shardings=(self._param_shardings, shard, shard),
                     out_shardings=shard,
                 )
             else:
@@ -143,7 +153,7 @@ class BiEncoder:
         return fn
 
     def _bucket(self, n: int) -> int:
-        unit = self.mesh.shape["data"] if self.mesh is not None else 1
+        unit = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         for b in (8, 16, 32):
             if n <= b <= self.batch and b % unit == 0:
                 return b

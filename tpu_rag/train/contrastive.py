@@ -21,31 +21,14 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_rag.models.bert import BertEncoder, BertSpec, l2_normalize, mean_pool
-
-
-def param_partition_spec(path: tuple, leaf) -> P:
-    """TP rules: shard FFN hidden dim and attention heads over "model"."""
-    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-    joined = "/".join(str(n) for n in names)
-    if "intermediate" in joined and joined.endswith("kernel"):
-        return P(None, "model")          # (H, F) -> F sharded
-    if joined.endswith("output/kernel") and "attention" not in joined:
-        return P("model", None)          # (F, H) -> F sharded
-    if "attention" in joined and joined.endswith("kernel"):
-        if "out" in joined.split("/")[-2]:
-            return P("model", None, None)  # (heads, head_dim, H)
-        return P(None, "model", None)      # (H, heads, head_dim)
-    if "attention" in joined and joined.endswith("bias") and leaf.ndim == 2:
-        return P("model", None)            # qkv bias (heads, head_dim)
-    return P()  # replicate embeddings, LN, 1-d biases
-
-
-def make_param_shardings(mesh: Mesh, params):
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_partition_spec(path, leaf)),
-        params,
-    )
+from tpu_rag.models.bert import (  # noqa: F401  (re-exported: TP rules are
+    BertEncoder,                   # shared with TP serving in BiEncoder)
+    BertSpec,
+    l2_normalize,
+    make_param_shardings,
+    mean_pool,
+    param_partition_spec,
+)
 
 
 def info_nce_loss(q_emb, d_emb, tau: float = 0.05):
