@@ -90,3 +90,26 @@ def test_train_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded_emb, trained_emb, atol=1e-6)
     out = enc.embed(["hello world"])
     assert out.shape == (1, 64)
+
+
+def test_ckpt_spec_inference_without_explicit_spec(tmp_path):
+    """Serving must derive the architecture from the checkpoint's shapes:
+    a ckpt trained at max_len=64/hidden=64 loaded WITHOUT spec= (the
+    EMBEDDING_WEIGHTS env path) must not be applied under the name-derived
+    minilm-l6 defaults (max_len=512) — that raises ScopeParamShapeError and
+    silently degrades retrieval to keyword-only."""
+    spec = BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128, max_len=64)
+    trainer = ContrastiveTrainer(spec, _mesh(1, 1), lr=1e-4)
+    ckpt = tmp_path / "ckpt"
+    trainer.save(str(ckpt))
+
+    from tpu_rag.models.biencoder import BiEncoder
+
+    enc = BiEncoder("sentence-transformers/all-MiniLM-L6-v2",
+                    weights_path=str(ckpt), seq_len=256, batch=8)
+    assert (enc.spec.hidden, enc.spec.layers, enc.spec.heads, enc.spec.ffn,
+            enc.spec.max_len, enc.spec.vocab_size) == (64, 2, 4, 128, 64, 512)
+    assert enc.seq_len == 64  # clamped to the ckpt's position table
+    out = enc.embed(["hello world", "a longer sentence " * 30])  # > max_len tokens
+    assert out.shape == (2, 64)
+    assert np.all(np.isfinite(out))

@@ -81,6 +81,28 @@ class BertEncoder(nn.Module):
         return x
 
 
+def spec_from_params(params, base: BertSpec) -> BertSpec:
+    """Derive the architecture from a restored param tree.  A checkpoint
+    knows its own shapes; serving must match them rather than the
+    name-derived defaults (e.g. a ckpt trained at max_len=128 must not be
+    applied under a max_len=512 module — Flax raises ScopeParamShapeError
+    and retrieval silently degrades to keyword-only)."""
+    from dataclasses import replace
+
+    try:
+        vocab, hidden = params["word_embeddings"]["embedding"].shape
+        max_len = params["position_embeddings"]["embedding"].shape[0]
+        type_vocab = params["token_type_embeddings"]["embedding"].shape[0]
+        layers = sum(1 for k in params if str(k).startswith("layer_"))
+        ffn = params["layer_0"]["intermediate"]["kernel"].shape[1]
+        heads = params["layer_0"]["attention"]["query"]["kernel"].shape[1]
+        return replace(base, vocab_size=int(vocab), hidden=int(hidden),
+                       max_len=int(max_len), type_vocab=int(type_vocab),
+                       layers=int(layers), ffn=int(ffn), heads=int(heads))
+    except (KeyError, AttributeError, ValueError, TypeError):
+        return base
+
+
 def param_partition_spec(path: tuple, leaf):
     """Tensor-parallel rules for BertEncoder params: shard the FFN hidden
     dim and the attention heads over a mesh "model" axis.  Used by both the

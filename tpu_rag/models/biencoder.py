@@ -82,13 +82,23 @@ class BiEncoder:
         (bge-base class) — XLA inserts the ICI collectives."""
         self.model_name = model_name
         self.spec = spec or spec_for_model(model_name)
-        self.seq_len = seq_len
         self.batch = batch
         self.mesh = mesh
         self.compute_dtype = jnp.bfloat16 if (dtype == "bfloat16" and jax.default_backend() == "tpu") else jnp.float32
+        # an orbax checkpoint fixes the architecture: derive the spec from
+        # its shapes (and clamp seq_len to its position table) BEFORE
+        # building the module, so serving always matches training
+        restored = _load_orbax_params(weights_path) if weights_path else None
+        if restored is not None:
+            from tpu_rag.models.bert import spec_from_params
+
+            restored = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), restored)
+            self.spec = spec_from_params(restored, self.spec)
+        self.seq_len = min(seq_len, self.spec.max_len)
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.spec.vocab_size)
         self.module = BertEncoder(self.spec, dtype=self.compute_dtype)
-        self.params = self._init_params(weights_path)
+        self.params = restored if restored is not None else self._init_params(weights_path)
         self._param_shardings = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -112,11 +122,11 @@ class BiEncoder:
         return self.spec.hidden
 
     def _init_params(self, weights_path: str):
+        # (orbax checkpoints are restored in __init__ — the spec must be
+        # derived from their shapes before the module is built; restored
+        # trees are device_put once there, or every forward call would
+        # re-upload ~90MB through a tunneled backend)
         if weights_path:
-            # orbax checkpoint (produced by scripts/train_biencoder.py)
-            params = _load_orbax_params(weights_path)
-            if params is not None:
-                return params
             # HF torch/safetensors checkpoint
             from tpu_rag.models.hf_import import load_bert_params
             params = load_bert_params(weights_path, self.spec)
