@@ -129,9 +129,12 @@ def main() -> None:
     except Exception as e:
         ann = {"error": str(e)}
 
-    # ---------------- TPU path selection (kernels run at k_scan = 4k for
-    # the f32 refine stage, so the preflight compiles that shape)
-    use_pallas = _pallas_preflight(n, d, 4 * k, qbatch)
+    # ---------------- TPU path selection (kernels run at serving's k_scan
+    # for the f32 refine stage, so the preflight compiles that shape)
+    from tpu_rag.index.flat import refine_k_scan
+
+    k_scan = refine_k_scan("bfloat16", 4, k, n)  # bf16 -> 2k oversample
+    use_pallas = _pallas_preflight(n, d, k_scan, qbatch)
 
     # Methodology: everything pre-staged on device (pre-padded DB, tag
     # arrays, filter pair) exactly like FlatIndex's snapshot fast path;
@@ -159,11 +162,10 @@ def main() -> None:
     qj = jnp.asarray(queries, jnp.bfloat16)
 
     # Serving semantics (FlatIndex two-stage refine): the device scans
-    # k_scan = 4k candidates in bf16, the host re-scores that handful in f32
-    # and keeps the top k — recovers the near-tie ordering bf16 rounding
-    # loses on clustered data.  The refine cost (readback + a (q, 4k, d)
-    # dot) is inside the timed loop.
-    k_scan = 4 * k
+    # k_scan candidates in bf16 (2k — refine_k_scan above), the host
+    # re-scores that handful in f32 and keeps the top k — recovers the
+    # near-tie ordering bf16 rounding loses on clustered data.  The refine
+    # cost (readback + a (q, k_scan, d) dot) is inside the timed loop.
 
     def refine(sc_np, ids_np):
         out = np.full((sc_np.shape[0], k), -1, np.int64)

@@ -43,6 +43,20 @@ APPEND_GRANULE = 256
 KILL_GRANULE = 64
 
 
+def refine_k_scan(dtype: str, refine_factor: int, k: int, n: int) -> int:
+    """Candidate count for the two-stage refine (scan k_scan, re-score in
+    f32 on host, keep top k).  int8 scans the full refine_factor*k —
+    quantization error genuinely reorders candidates; bf16 only needs to
+    recover rounding-order near-ties, so 2x oversampling suffices and halves
+    the in-kernel top-k loop passes (the exact kernel's per-tile cost is
+    linear in k_scan).  Recall for both is CI-gated >= 0.99
+    (tests/test_incremental.py::test_int8_refine_recall_gate)."""
+    if refine_factor <= 0 or dtype not in ("int8", "bfloat16"):
+        return k
+    f = refine_factor if dtype == "int8" else min(refine_factor, 2)
+    return min(max(k * f, k), max(n, 1))
+
+
 @jax.jit
 def _append_chunk_device(vb, sb, nb, cb, new_vals, new_scales, new_ns, new_canon, offset):
     """Write one APPEND_GRANULE-row chunk into the device append block."""
@@ -120,12 +134,12 @@ class FlatIndex:
         self.use_pallas = use_pallas
         self.block_n = block_n
         self.search_mode = search_mode
-        # measured on v5e: with the outer-jitted single-dispatch path the
-        # Pallas kernel matches XLA at 100K rows (round 1's 3x gap was eager
-        # glue dispatches) and wins at 10M (630 vs 525 GB/s).  Below ~100K
-        # the corpus fits one tile and XLA's fusion is already optimal.
-        # use_pallas=True picks automatically; 0 forces Pallas always.
-        self.pallas_min_rows = 100_000
+        # measured on v5e: since the selection loop dropped its argmax
+        # (ops/topk.py — max + eq + min-over-iota), the Pallas kernel beats
+        # XLA at every scale that fits HBM (66.0K vs 64.7K QPS at 100K rows,
+        # bench.py r2), so Pallas is the default whenever the backend
+        # supports it.  The threshold remains settable for A/B runs.
+        self.pallas_min_rows = 0
         # int8 two-stage refine: scan int8 for refine_factor*k candidates,
         # then exactly re-score those few rows with the f32 master copy
         # (recall 0.934 -> ~bf16-level at int8 scan cost). 0 disables.
@@ -459,9 +473,7 @@ class FlatIndex:
         # bf16: its bucket-max scores are already exact, so re-scoring only
         # churns near-ties — measured as recall noise on clustered data
         # where the rank-10/11 score gap is ~3e-4.)
-        k_scan = k
-        if self.dtype in ("int8", "bfloat16") and self.refine_factor > 0:
-            k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
+        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
         # cache the filter pair as a device array: a fresh host->device
         # transfer per search costs a full RTT on tunneled backends
         wants = self._wants_cache.get((want_ns, want_canon))

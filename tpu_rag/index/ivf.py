@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tpu_rag.index.flat import FlatIndex, SearchResult, _normalize
+from tpu_rag.index.flat import FlatIndex, SearchResult, _normalize, refine_k_scan
 from tpu_rag.ops.kmeans import kmeans
 from tpu_rag.ops.quant import quantize_int8_rows
 from tpu_rag.ops.topk import PAD_TAG, topk_xla_reference
@@ -311,9 +311,7 @@ class IVFIndex(FlatIndex):
         have_main = snap["nlist"] > 0
         have_ov = len(snap["ov_rows"]) > 0
         # int8 two-stage refine (same as FlatIndex)
-        k_scan = k
-        if self.dtype in ("int8", "bfloat16") and self.refine_factor > 0:
-            k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
+        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
         key = (k_scan, nprobe, have_main, have_ov,
                snap["nlist"], len(snap["ov_rows"]))
         fn = self._ov_fn_cache.get(key)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_rag.index.flat import FlatIndex, SearchResult, _normalize, _quantize_int8_np
+from tpu_rag.index.flat import (FlatIndex, SearchResult, _normalize,
+                                _quantize_int8_np, refine_k_scan)
 from tpu_rag.index.ivf import IVFIndex, _probe_impl
 from tpu_rag.ops.kmeans import kmeans
 from tpu_rag.ops.quant import quantize_int8_rows
@@ -148,9 +149,7 @@ class ShardedFlatIndex(FlatIndex):
         snap = self.device_snapshot()
         # int8 two-stage refine (same as FlatIndex): oversample on the scan,
         # re-score the handful exactly on host
-        k_scan = k
-        if self.dtype in ("int8", "bfloat16") and self.refine_factor > 0:
-            k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
+        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
         fn = self._search_fns.get(k_scan)
         if fn is None:
             fn = make_sharded_search(self._mesh(), k=k_scan, use_pallas=self.use_pallas,
@@ -390,9 +389,7 @@ class ShardedIVFIndex(IVFIndex):
                                 documents=[[] for _ in range(nq)])
 
         snap = self.device_snapshot()
-        k_scan = k
-        if self.dtype in ("int8", "bfloat16") and self.refine_factor > 0:
-            k_scan = min(max(k * self.refine_factor, k), max(snap["n"], 1))
+        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
         nprobe = min(self.nprobe, snap["nlist"])
         interpret = jax.default_backend() != "tpu"
         key = (k_scan, nprobe, snap["have_ov"], snap["nlist"])
