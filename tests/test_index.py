@@ -389,6 +389,36 @@ def test_int8_refine_recovers_recall():
     assert rec_refined >= 0.97
 
 
+def test_auto_search_mode_routing():
+    """"auto" (the default) resolves to exact below auto_bucketed_min_rows
+    and to bucketed at/above it; explicit modes pass through unchanged."""
+    idx = FlatIndex(64)
+    assert idx.search_mode == "auto"
+    assert idx.effective_search_mode(idx.auto_bucketed_min_rows - 1) == "exact"
+    assert idx.effective_search_mode(idx.auto_bucketed_min_rows) == "bucketed"
+    assert FlatIndex(64, search_mode="exact").effective_search_mode(10**8) == "exact"
+    assert FlatIndex(64, search_mode="bucketed").effective_search_mode(10) == "bucketed"
+
+
+def test_auto_search_mode_runs_bucketed_kernel():
+    """With the threshold lowered, auto actually routes through the bucketed
+    Pallas kernel and still returns high-recall results."""
+    ids, vecs, docs, metas = _corpus(n=30000, d=64)
+    exact = FlatIndex(64, dtype="float32", use_pallas=False)
+    exact.add(ids, vecs, docs, metas)
+    a = FlatIndex(64, dtype="bfloat16")  # search_mode defaults to "auto"
+    a.auto_bucketed_min_rows = 1000      # force the bucketed branch
+    a.add(ids, vecs, docs, metas)
+    rng = np.random.default_rng(13)
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    truth = exact.search(q, 10)
+    got = a.search(q, 10)
+    assert any(key[0] == "pallas" and key[3] == "bucketed"
+               for key in a._xla_fn_cache if isinstance(key, tuple) and len(key) == 4)
+    rec = np.mean([len(set(t) & set(x)) / 10 for t, x in zip(truth.ids, got.ids)])
+    assert rec >= 0.95
+
+
 def test_bucketed_recall_at_scale():
     ids, vecs, docs, metas = _corpus(n=30000, d=64)
     exact = FlatIndex(64, dtype="float32", use_pallas=False)

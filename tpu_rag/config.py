@@ -61,7 +61,9 @@ class Config:
     # --- TPU index engine ---
     index_dtype: str = "bfloat16"       # bfloat16 | float32 | int8
     index_kind: str = "flat"            # flat | ivf
-    index_search_mode: str = "exact"    # exact | bucketed (approx, faster at scale)
+    index_search_mode: str = "auto"     # auto | exact | bucketed ("auto" = exact
+                                        # below 2M rows, bucketed above — see
+                                        # FlatIndex.effective_search_mode)
     block_n: int = 8192                 # db rows per Pallas tile (cap; VMEM budget may lower it)
     ivf_nlist: int = 0                  # 0 = auto (~sqrt(N))
     ivf_nprobe: int = 8

@@ -178,7 +178,7 @@ class RagEngine:
         mesh = self._mesh()
         if mesh is not None and "data" in mesh.shape and mesh.shape["data"] > 1:
             from tpu_rag.parallel.sharded import ShardedFlatIndex
-            kw.pop("search_mode", None)  # sharded path is always exact per shard
+            # search_mode passes through: "auto" resolves per SHARD size
             return ShardedFlatIndex(self.encoder.dim, mesh=mesh, **kw)
         return FlatIndex(self.encoder.dim, **kw)
 

@@ -124,7 +124,7 @@ class FlatIndex:
         metric: str = "cosine",
         use_pallas: bool = True,
         block_n: int = 8192,
-        search_mode: str = "exact",   # "exact" | "bucketed" (approx, faster)
+        search_mode: str = "auto",    # "auto" | "exact" | "bucketed"
     ) -> None:
         if metric not in ("cosine", "ip"):
             raise ValueError(f"unsupported metric: {metric}")
@@ -134,6 +134,13 @@ class FlatIndex:
         self.use_pallas = use_pallas
         self.block_n = block_n
         self.search_mode = search_mode
+        # "auto" routes to the exact kernel below this row count and to the
+        # one-pass bucketed kernel above it.  A bucketed miss needs two true
+        # top-k members in the same 128-lane bucket: P ~ C(k,2)*128/n, so at
+        # the 2M threshold structural recall@10 is already >= 0.997 and
+        # rises with n (0.9997 at 20M) — while the exact kernel's k selection
+        # passes over every tile make it VPU-bound at large n.
+        self.auto_bucketed_min_rows = 2_000_000
         # measured on v5e: since the selection loop dropped its argmax
         # (ops/topk.py — max + eq + min-over-iota), the Pallas kernel beats
         # XLA at every scale that fits HBM (66.0K vs 64.7K QPS at 100K rows,
@@ -440,6 +447,15 @@ class FlatIndex:
 
     # ------------------------------------------------------------- search
 
+    def effective_search_mode(self, n: int) -> str:
+        """Resolve "auto" per corpus size: exact below auto_bucketed_min_rows
+        (the selection passes are cheap when the corpus fits VMEM-scale
+        tiles), one-pass bucketed above it (structural recall >= 0.997 at the
+        threshold and rising with n — see __init__)."""
+        if self.search_mode != "auto":
+            return self.search_mode
+        return "bucketed" if n >= self.auto_bucketed_min_rows else "exact"
+
     def search(
         self,
         queries: np.ndarray,
@@ -485,13 +501,14 @@ class FlatIndex:
             # padding/slicing glue, and the final merge top_k compile into a
             # SINGLE executable -> one dispatch per search (eager glue ops
             # each cost a dispatch, which dominates at small corpora)
-            pfn = self._xla_fn_cache.get(("pallas", k_scan, snap["bn"], self.search_mode))
+            mode = self.effective_search_mode(snap["n"])
+            pfn = self._xla_fn_cache.get(("pallas", k_scan, snap["bn"], mode))
             if pfn is None:
-                mode, bn = self.search_mode, snap["bn"]
+                bn = snap["bn"]
                 pfn = jax.jit(lambda q, x, s, ns, canon, w: fused_matmul_topk(
                     q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
                     wants=w, block_n=bn, assume_padded=True, mode=mode))
-                self._xla_fn_cache[("pallas", k_scan, snap["bn"], self.search_mode)] = pfn
+                self._xla_fn_cache[("pallas", k_scan, snap["bn"], mode)] = pfn
             sc, idx = pfn(qj, snap["vectors"], snap["scales"],
                           snap["ns"], snap["canon"], wants)
         else:

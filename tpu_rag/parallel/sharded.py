@@ -150,11 +150,14 @@ class ShardedFlatIndex(FlatIndex):
         # int8 two-stage refine (same as FlatIndex): oversample on the scan,
         # re-score the handful exactly on host
         k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
-        fn = self._search_fns.get(k_scan)
+        # "auto" resolves per SHARD size — each device scans n/devices rows
+        mode = self.effective_search_mode(
+            snap["n"] // max(1, len(self._mesh().devices.flat)))
+        fn = self._search_fns.get((k_scan, mode))
         if fn is None:
             fn = make_sharded_search(self._mesh(), k=k_scan, use_pallas=self.use_pallas,
-                                     axis=self.axis, mode=self.search_mode)
-            self._search_fns[k_scan] = fn
+                                     axis=self.axis, mode=mode)
+            self._search_fns[(k_scan, mode)] = fn
         # cache the filter pair on device — a fresh host->device transfer per
         # search costs a full RTT on tunneled backends (same as FlatIndex)
         wants = self._wants_cache.get(("sharded", want_ns, want_canon))
