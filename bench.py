@@ -259,6 +259,62 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---------------- 10M-row scale point (BASELINE config #4 scale): data
+    # generated ON DEVICE (host->device of GBs is ~MB/s on tunneled setups),
+    # exact + bucketed Pallas paths, small iteration count.  Fully fenced:
+    # any failure or BENCH_SKIP_SCALE=1 just omits the section.
+    scale_10m = None
+    if use_pallas and not os.getenv("BENCH_SKIP_SCALE"):
+        try:
+            import functools
+
+            n10 = 10_000_000
+            n10_pad = -(-n10 // bn) * bn
+            chunk = 1_000_000
+
+            @functools.partial(jax.jit, static_argnames=("rows",))
+            def _gen_chunk(key, rows):
+                g = jax.random.normal(key, (rows, d), jnp.bfloat16)
+                inv = jax.lax.rsqrt(jnp.sum(jnp.square(g.astype(jnp.float32)),
+                                            axis=1, keepdims=True) + 1e-9)
+                return (g.astype(jnp.float32) * inv).astype(jnp.bfloat16)
+
+            keys10 = jax.random.split(jax.random.PRNGKey(0), -(-n10_pad // chunk))
+            parts, rem = [], n10_pad
+            for key10 in keys10:
+                rows = min(chunk, rem)
+                parts.append(_gen_chunk(key10, rows))
+                rem -= rows
+            x10 = jnp.concatenate(parts)
+            del parts
+            t10 = jnp.zeros((n10_pad,), jnp.int32)
+
+            def _measure10(mode):
+                fn = jax.jit(lambda q, xx, t, w: fused_matmul_topk(
+                    q, xx, k, ns_tags=t, canon_tags=t, wants=w,
+                    assume_padded=True, block_n=bn, mode=mode))
+                sc10, _ = fn(qj, x10, t10, wants)
+                np.asarray(sc10)
+                iters10 = 10
+                t0 = time.perf_counter()
+                for _ in range(iters10):
+                    sc10, _ = fn(qj, x10, t10, wants)
+                np.asarray(sc10)
+                dt = (time.perf_counter() - t0) / iters10
+                return {"ms_per_batch": round(dt * 1e3, 2),
+                        "qps": round(qbatch / dt, 1),
+                        "gbps": round(n10_pad * d * 2 / dt / 1e9, 1)}
+
+            scale_10m = {
+                "n": n10, "dtype": "bfloat16", "qbatch": qbatch, "k": k,
+                # auto search_mode serves >=2M-row corpora through bucketed
+                "bucketed_auto_default": _measure10("bucketed"),
+                "exact": _measure10("exact"),
+            }
+            del x10, t10
+        except Exception as e:
+            scale_10m = {"error": str(e)[:200]}
+
     # vs_baseline is the honest ratio: TPU exact search vs the CPU ANN
     # (HNSW) baseline; brute-force numpy is reported alongside for context.
     ann_qps_val = ann.get("qps")
@@ -278,6 +334,7 @@ def main() -> None:
         "kernel_path": best_path,
         "paths_qps": {p: round(v[0], 1) for p, v in results.items()},
         "paths_recall": {p: round(v[1], 4) for p, v in results.items()},
+        "scale_10m": scale_10m,  # on-device-generated 10M-row scale point
         "corpus": {"n": n, "dim": d, "dtype": "bfloat16", "k": k, "query_batch": qbatch},
     }))
 

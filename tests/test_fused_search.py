@@ -1,0 +1,87 @@
+"""Fused embed+search (FlatIndex.search_fused + engine wiring): the encoder
+forward and the top-k scan compile into ONE executable, so a cold /search
+costs a single device dispatch.  Results must match the two-step path."""
+
+import numpy as np
+
+from tpu_rag.config import Config
+from tpu_rag.engine import RagEngine
+from tpu_rag.index.flat import FlatIndex
+from tpu_rag.models.biencoder import BiEncoder
+from tpu_rag.retrieval.hybrid import vector_hits
+
+
+def _cfg(tmp_path, name, **kw):
+    return Config(
+        persist_dir=str(tmp_path / f"vs-{name}"),
+        kb_db_path=str(tmp_path / f"db-{name}/kb.sqlite3"),
+        db_path=str(tmp_path / f"db-{name}/app.sqlite3"),
+        docs_dir=str(tmp_path / f"docs-{name}"),
+        index_dtype="float32", use_pallas=False, summarize_mode="off", **kw)
+
+
+def _seed(eng, enc, n=24):
+    docs = [f"document {i} about topic-{i % 5} with unique token tok{i}"
+            for i in range(n)]
+    eng.index.add([f"d{i}" for i in range(n)], enc.embed(docs), docs,
+                  [{"namespace": "even" if i % 2 == 0 else "odd"}
+                   for i in range(n)])
+    return docs
+
+
+def test_fused_matches_two_step(tmp_path):
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+    eng = RagEngine(_cfg(tmp_path, "direct", microbatch=False), encoder=enc)
+    assert type(eng.index) is FlatIndex
+    _seed(eng, enc)
+
+    q = "document about topic-2 tok7"
+    hits = eng.query_vector(q, 5, None, None)
+    # fused executable was compiled and used
+    assert any(isinstance(key, tuple) and key and key[0] == "fused"
+               for key in eng.index._xla_fn_cache), "fused path not taken"
+    # reference: classic embed-then-search
+    ref = vector_hits(eng.index, enc.embed([q]), 5, None, None)
+    assert [h["id"] for h in hits] == [h["id"] for h in ref]
+    assert np.allclose([h["score"] for h in hits], [h["score"] for h in ref],
+                       atol=1e-5)
+    # the fused path stored the query embedding, so the warm path reuses it
+    hits2 = eng.query_vector(q, 5, None, None)
+    assert [h["id"] for h in hits2] == [h["id"] for h in hits]
+
+
+def test_fused_respects_metadata_filter(tmp_path):
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+    eng = RagEngine(_cfg(tmp_path, "filter", microbatch=False), encoder=enc)
+    _seed(eng, enc)
+    hits = eng.query_vector("document topic-1 tok3", 6, "odd", None)
+    assert hits and all(h["metadata"]["namespace"] == "odd" for h in hits)
+    # unseen tag -> fused returns None -> fallback path yields [] hits
+    assert eng.query_vector("document", 3, "no-such-ns", None) == []
+
+
+def test_fused_through_microbatcher(tmp_path):
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+    eng = RagEngine(_cfg(tmp_path, "mb", microbatch=True), encoder=enc)
+    _seed(eng, enc)
+    q = "document about topic-4 tok9"
+    hits = eng.query_vector(q, 4, None, None)
+    ref = vector_hits(eng.index, enc.embed([q]), 4, None, None)
+    assert [h["id"] for h in hits] == [h["id"] for h in ref]
+    assert any(isinstance(key, tuple) and key and key[0] == "fused"
+               for key in eng.index._xla_fn_cache)
+
+
+def test_fused_falls_back_for_fake_encoder(tmp_path):
+    """Encoders without fused_forward (e.g. test fakes) just use the
+    two-step path — no errors, same results."""
+    from tests.test_api import FakeEncoder
+
+    enc = FakeEncoder()
+    eng = RagEngine(_cfg(tmp_path, "fake", microbatch=False), encoder=enc)
+    docs = ["alpha beta", "beta gamma", "gamma delta"]
+    eng.index.add(["a", "b", "c"], enc.embed(docs), docs, [{} for _ in docs])
+    hits = eng.query_vector("beta", 2, None, None)
+    assert len(hits) == 2
+    assert not any(isinstance(key, tuple) and key and key[0] == "fused"
+                   for key in eng.index._xla_fn_cache)

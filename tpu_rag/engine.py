@@ -201,6 +201,37 @@ class RagEngine:
             while len(self._qvec_cache) > self._qvec_cache_size:
                 self._qvec_cache.popitem(last=False)
 
+    def _fused_vector_hits(self, query: str, k: int, namespace: str | None,
+                           canonicality: str | None) -> list[dict] | None:
+        """One-dispatch embed+search (FlatIndex.search_fused): the encoder
+        forward and the top-k scan compile into a single executable, halving
+        per-request device round-trips.  Returns None to fall back to the
+        two-step path (non-flat index, cached qvec handled by caller, empty
+        index, unseen filter tag, or any error)."""
+        from tpu_rag.index.flat import FlatIndex
+
+        if (type(self.index) is not FlatIndex
+                or not hasattr(self.encoder, "fused_forward")):
+            return None
+        try:
+            enc = self.encoder
+            fwd, fkey = enc.fused_forward()
+            ids, mask = enc.tokenize_batch([query], batch=enc._bucket(1))
+            kk = max(1, min(int(5 if k is None else k), 20))
+            out = self.index.search_fused(
+                fwd, fkey, enc.params, ids, mask, 1, kk,
+                namespace=namespace or None, canonicality=canonicality or None)
+            if out is None:
+                return None
+            res, qv = out
+            self._qvec_store(hashlib.md5(query.encode("utf-8")).hexdigest(), qv)
+            from tpu_rag.retrieval.hybrid import result_hits
+
+            return result_hits(res, 0)
+        except Exception as e:
+            logger.warning("fused embed+search failed (%s); falling back", e)
+            return None
+
     def query_vector(self, query: str, k: int, namespace: str | None,
                      canonicality: str | None, timings: StageTimings | None = None) -> list[dict]:
         """Embed + index search shaped like the reference's _query_chroma
@@ -211,10 +242,15 @@ class RagEngine:
             if self._microbatcher is not None:
                 with t.stage("vector_search"):
                     return self._microbatcher.submit((query, k, namespace, canonicality))
-            with t.stage("embed"):
-                key = hashlib.md5(query.encode("utf-8")).hexdigest()
-                qv = self._qvec_cached(key)
-                if qv is None:
+            key = hashlib.md5(query.encode("utf-8")).hexdigest()
+            qv = self._qvec_cached(key)
+            if qv is None:
+                # cold query: one fused embed+search dispatch when possible
+                with t.stage("vector_search"):
+                    hits = self._fused_vector_hits(query, k, namespace, canonicality)
+                    if hits is not None:
+                        return hits
+                with t.stage("embed"):
                     qv = self.embed([query])
                     self._qvec_store(key, qv)
             with t.stage("vector_search"):
@@ -226,10 +262,18 @@ class RagEngine:
     def _run_vector_batch(self, items: list[tuple]) -> list[list[dict]]:
         """MicroBatcher callback: one encoder forward for all cache-miss
         queries, then one index scan per distinct (k, namespace,
-        canonicality) group (usually a single group)."""
+        canonicality) group (usually a single group).  The common
+        single-query window takes the one-dispatch fused embed+search path."""
         import numpy as np
 
         from tpu_rag.retrieval.hybrid import vector_hits_batch
+
+        if len(items) == 1:
+            q1, k1, ns1, canon1 = items[0]
+            if self._qvec_cached(hashlib.md5(q1.encode("utf-8")).hexdigest()) is None:
+                hits = self._fused_vector_hits(q1, k1, ns1, canon1)
+                if hits is not None:
+                    return [hits]
 
         keys = [hashlib.md5(q.encode("utf-8")).hexdigest() for q, *_ in items]
         vecs: dict[str, object] = {}

@@ -529,6 +529,70 @@ class FlatIndex:
             sc, hrows = self._refine_exact(queries, sc, hrows, k)
         return self._to_result(sc, hrows)
 
+    def search_fused(self, forward, fkey, params, ids, mask, nq: int, k: int,
+                     *, namespace: str | None = None,
+                     canonicality: str | None = None):
+        """One-dispatch embed+search: `forward(params, ids, mask) -> (B, dim)
+        float32, L2-normalized` (a traceable encoder forward, e.g.
+        BiEncoder.fused_forward) is compiled INTO the same executable as the
+        top-k scan, so a cold /search costs one device round-trip instead of
+        two (embed, then search) — each dispatch is a full RTT on tunneled
+        backends.  `fkey` identifies the forward in the jit cache; `nq` is
+        the number of real (non-padding) query rows in the batch.
+
+        Returns (SearchResult, qvecs (nq, dim) np.float32) — the embeddings
+        come back with the scores so callers can reuse/cache them — or None
+        when the caller must fall back to the two-step path (empty index or
+        a filter tag this index has never seen).
+        """
+        want_ns = self.ns_vocab.lookup(namespace)
+        want_canon = self.canon_vocab.lookup(canonicality)
+        if want_ns == -2 or want_canon == -2 or self.count() == 0:
+            return None
+        snap = self.device_snapshot()
+        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
+        wants = self._wants_cache.get((want_ns, want_canon))
+        if wants is None:
+            wants = jnp.array([[want_ns, want_canon]], jnp.int32)
+            self._wants_cache[(want_ns, want_canon)] = wants
+        b, t = ids.shape
+        use_pallas = self.use_pallas and snap["n_pad"] >= self.pallas_min_rows
+        mode = self.effective_search_mode(snap["n"]) if use_pallas else "exact"
+        key = ("fused", fkey, b, t, k_scan, snap["bn"], mode, use_pallas)
+        fn = self._xla_fn_cache.get(key)
+        if fn is None:
+            bn = snap["bn"]
+            if use_pallas:
+                def impl(params, tids, tmask, x, s, ns_t, canon_t, w):
+                    q = forward(params, tids, tmask)
+                    sc, ii = fused_matmul_topk(
+                        q, x, k_scan, db_scales=s, ns_tags=ns_t,
+                        canon_tags=canon_t, wants=w, assume_padded=True,
+                        block_n=bn, mode=mode)
+                    return sc, ii, q
+            else:
+                def impl(params, tids, tmask, x, s, ns_t, canon_t, w):
+                    q = forward(params, tids, tmask)
+                    sc, ii = topk_xla_reference(
+                        q, x, k_scan, db_scales=s, ns_tags=ns_t,
+                        canon_tags=canon_t, want_ns=w[0, 0],
+                        want_canon=w[0, 1])
+                    return sc, ii, q
+            fn = jax.jit(impl)
+            self._xla_fn_cache[key] = fn
+        sc, idx, qv = fn(params, jnp.asarray(ids), jnp.asarray(mask),
+                         snap["vectors"], snap["scales"],
+                         snap["ns"], snap["canon"], wants)
+        qv_np = np.asarray(qv)[:nq]
+        sc, idx = np.asarray(sc)[:nq], np.asarray(idx)[:nq]
+        hrows = self._device_to_host_rows(sc, idx, snap["rows"], snap["n"])
+        if snap.get("a_fill", 0) > 0:
+            sc, hrows = self._merge_append_block(jnp.asarray(qv_np), sc, hrows,
+                                                 snap, k_scan, wants)
+        if k_scan > k:
+            sc, hrows = self._refine_exact(qv_np, sc, hrows, k)
+        return self._to_result(sc, hrows), qv_np
+
     def _search_append_block(self, qj, snap: dict[str, Any], k_scan: int):
         """Scan the (small) device append block with the cached XLA path."""
         k_a = min(k_scan, snap["a_fill"])

@@ -187,3 +187,23 @@ class BiEncoder:
 
     def embed_one(self, text: str) -> np.ndarray:
         return self.embed([text])[0]
+
+    def fused_forward(self):
+        """(forward, key) for FlatIndex.search_fused: `forward(params, ids,
+        mask) -> (B, dim) f32 L2-normalized` is a plain traceable function
+        (NOT jitted here) so the index can compile encoder forward + top-k
+        scan into ONE executable — one device dispatch per /search instead
+        of two, which halves the per-request round-trips on tunneled
+        backends.  `key` identifies this encoder in the index's jit cache."""
+        module = self.module
+
+        def forward(params, ids, mask):
+            hidden = module.apply({"params": params}, ids, mask)
+            return l2_normalize(mean_pool(hidden, mask).astype(jnp.float32))
+
+        return forward, ("biencoder", id(self))
+
+    def tokenize_batch(self, texts: list[str], batch: int | None = None):
+        """Tokenize to fixed-shape (ids, mask) int32 arrays (host-side)."""
+        b = batch or self._bucket(len(texts))
+        return encode_batch(self.tokenizer, texts, self.seq_len, batch=b)

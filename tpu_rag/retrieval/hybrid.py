@@ -19,6 +19,21 @@ from typing import Any
 META_TITLE_KEYWORDS = ("curator", "schema", "prompt手冊", "prompt 指南", "系統說明", "資料庫說明")
 
 
+def result_hits(res, qi: int = 0) -> list[dict]:
+    """Shape one query's SearchResult row like the reference's _query_chroma
+    hits (score = distance, rank from 1)."""
+    hits = []
+    for i in range(len(res.ids[qi])):
+        hits.append({
+            "rank": i + 1,
+            "id": res.ids[qi][i],
+            "score": float(res.distances[qi][i]),
+            "metadata": res.metadatas[qi][i],
+            "text": res.documents[qi][i],
+        })
+    return hits
+
+
 def vector_hits(index, query_vec, k: int, namespace: str | None,
                 canonicality: str | None) -> list[dict]:
     """Search the vector index and shape hits like the reference's
@@ -26,16 +41,7 @@ def vector_hits(index, query_vec, k: int, namespace: str | None,
     k = max(1, min(int(5 if k is None else k), 20))
     res = index.search(query_vec, k, namespace=namespace or None,
                        canonicality=canonicality or None)
-    hits = []
-    for i in range(len(res.ids[0])):
-        hits.append({
-            "rank": i + 1,
-            "id": res.ids[0][i],
-            "score": float(res.distances[0][i]),
-            "metadata": res.metadatas[0][i],
-            "text": res.documents[0][i],
-        })
-    return hits
+    return result_hits(res, 0)
 
 
 def vector_hits_batch(index, query_vecs, k: int, namespace: str | None,
@@ -44,19 +50,7 @@ def vector_hits_batch(index, query_vecs, k: int, namespace: str | None,
     k = max(1, min(int(5 if k is None else k), 20))
     res = index.search(query_vecs, k, namespace=namespace or None,
                        canonicality=canonicality or None)
-    out: list[list[dict]] = []
-    for qi in range(len(res.ids)):
-        hits = []
-        for i in range(len(res.ids[qi])):
-            hits.append({
-                "rank": i + 1,
-                "id": res.ids[qi][i],
-                "score": float(res.distances[qi][i]),
-                "metadata": res.metadatas[qi][i],
-                "text": res.documents[qi][i],
-            })
-        out.append(hits)
-    return out
+    return [result_hits(res, qi) for qi in range(len(res.ids))]
 
 
 def is_meta_hit(h: dict, meta_tags: tuple[str, ...]) -> bool:
