@@ -21,7 +21,7 @@ import subprocess
 import sys
 import time
 
-PREFLIGHT_SECONDS = int(os.getenv("BENCH_PALLAS_PREFLIGHT_S", "240"))
+PREFLIGHT_SECONDS = int(os.getenv("BENCH_PALLAS_PREFLIGHT_S", "480"))
 
 _PREFLIGHT_SNIPPET = r"""
 import sys
@@ -31,34 +31,66 @@ from tpu_rag.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 from tpu_rag.ops import PAD_TAG, fused_matmul_topk
 from tpu_rag.ops.topk import default_block_n
-n, d, k = {n}, {d}, {k}
+n, d, ks = {n}, {d}, {ks}
 bn = default_block_n(d, 2, 8192)
 n_pad = -(-n // bn) * bn
 x = jnp.zeros((n_pad, d), jnp.bfloat16)
 t = jnp.zeros((n_pad,), jnp.int32)
 q = jnp.zeros(({qbatch}, d), jnp.bfloat16)
 w = jnp.array([[-1, -1]], jnp.int32)
-for mode in ("exact", "bucketed"):
-    fn = jax.jit(lambda q, xx, t, w, m=mode: fused_matmul_topk(
-        q, xx, k, ns_tags=t, canon_tags=t, wants=w,
-        assume_padded=True, block_n=bn, mode=m))
-    sc, _ = fn(q, x, t, w)
-    np.asarray(sc)
+for k in ks:
+    for mode in ("exact", "bucketed"):
+        fn = jax.jit(lambda q, xx, t, w, m=mode, kk=k: fused_matmul_topk(
+            q, xx, kk, ns_tags=t, canon_tags=t, wants=w,
+            assume_padded=True, block_n=bn, mode=m))
+        sc, _ = fn(q, x, t, w)
+        np.asarray(sc)
+open({marker!r}, "w").write("ok")
 print("PALLAS_OK")
 """
 
 
-def _pallas_preflight(n, d, k, qbatch) -> bool:
-    """Compile the exact bench kernel in a subprocess with a deadline.
-    On success the persistent compile cache makes the in-process run instant."""
+def _preflight_marker(n, d, k, qbatch) -> str:
+    """Disk marker keyed by the kernel source + shapes: once the kernels
+    compiled OK (persistent compile cache warm), later runs skip the
+    subprocess entirely."""
+    import hashlib
+
     repo = os.path.dirname(os.path.abspath(__file__))
-    code = _PREFLIGHT_SNIPPET.format(repo=repo, n=n, d=d, k=k, qbatch=qbatch)
     try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, timeout=PREFLIGHT_SECONDS)
-        return b"PALLAS_OK" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+        with open(os.path.join(repo, "tpu_rag", "ops", "topk.py"), "rb") as f:
+            src = f.read()
+    except OSError:
+        src = b""
+    tag = hashlib.blake2b(src + f"{n}:{d}:{k}:{qbatch}".encode(),
+                          digest_size=8).hexdigest()
+    return f"/tmp/tpu_rag_preflight_{tag}.ok"
+
+
+def _pallas_preflight(n, d, k, qbatch) -> bool:
+    """Compile the bench kernels in a subprocess with a deadline.  On success
+    the persistent compile cache makes the in-process run instant, and a disk
+    marker skips the subprocess on reruns.  On deadline the child is NOT
+    killed — SIGKILLing a process mid-TPU-compile can wedge the tunneled
+    backend for every process — it is left to finish in the background and
+    warm the compile cache for the next run."""
+    ks = tuple(sorted({int(k), 10}))  # serving k_scan + the scale section's k
+    marker = _preflight_marker(n, d, ks, qbatch)
+    if os.path.isfile(marker):
+        return True
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _PREFLIGHT_SNIPPET.format(repo=repo, n=n, d=d, ks=ks, qbatch=qbatch,
+                                     marker=marker)
+    try:
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        deadline = time.time() + PREFLIGHT_SECONDS
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                return os.path.isfile(marker)
+            time.sleep(2)
+        return False  # child left running: it will warm the cache + marker
     except Exception:
         return False
 

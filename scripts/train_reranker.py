@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Train the cross-encoder reranker on labeled pairs with hard negatives,
+then measure the rerank LIFT on held-out retrieval.
+
+Completes the semantic-quality story (scripts/train_semantic.py trains the
+bi-encoder): the reference serves a pretrained ms-marco cross-encoder
+(reference api/app.py:95-104); this image has no pretrained weights, so the
+reranker trains from scratch on the same docstring corpus —
+
+- pairs: (summary query, body) positives; negatives are HARD: the trained
+  bi-encoder's top-ranked non-target bodies for each query (the candidates a
+  reranker must actually discriminate at serving time), plus random bodies;
+- loss: binary cross-entropy on the single relevance logit
+  (CrossEncoderModule — same head layout as ms-marco checkpoints);
+- eval: rerank the trained bi-encoder's top-20 candidates for held-out
+  queries; report recall@k / MRR@10 before vs after, plus the round-1
+  seeded-random reranker as the baseline it replaces.
+
+  python scripts/make_corpus.py --out /tmp/corpus40k.jsonl --n 40000
+  python scripts/train_semantic.py --corpus /tmp/corpus40k.jsonl --out /tmp/semantic
+  python scripts/train_reranker.py --corpus /tmp/corpus40k.jsonl \
+      --biencoder /tmp/semantic --out /tmp/reranker
+
+Artifacts in --out: ckpt/ (orbax, served via RERANK_WEIGHTS=... — the
+tokenizer is shared with the bi-encoder's TOKENIZER_PATH), rerank.json,
+RERANK.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def load_corpus(path: str) -> list[dict]:
+    docs = [json.loads(line) for line in open(path, encoding="utf-8")]
+    if not docs:
+        raise SystemExit(f"empty corpus: {path}")
+    return docs
+
+
+def split_holdout(docs: list[dict], frac: float) -> tuple[list[dict], list[dict]]:
+    """Same deterministic id-hash split as scripts/train_semantic.py, so the
+    reranker never trains on the bi-encoder's held-out queries."""
+    mod = max(2, int(round(1.0 / max(frac, 1e-6))))
+    train, hold = [], []
+    for d in docs:
+        h = int.from_bytes(hashlib.blake2b(d["id"].encode(), digest_size=4).digest(), "little")
+        (hold if h % mod == 0 else train).append(d)
+    return train, hold
+
+
+def rank_metrics(label: str, ranks: np.ndarray) -> dict:
+    out = {"label": label,
+           "recall@1": round(float(np.mean(ranks < 1)), 4),
+           "recall@5": round(float(np.mean(ranks < 5)), 4),
+           "recall@10": round(float(np.mean(ranks < 10)), 4),
+           "mrr@10": round(float(np.mean(np.where(ranks < 10, 1.0 / (ranks + 1), 0.0))), 4)}
+    print(f"[eval] {label}: {out}", flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--biencoder", required=True,
+                    help="train_semantic.py --out dir (vocab.txt + ckpt/)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=256, help="pairs per step")
+    ap.add_argument("--seq-len", type=int, default=160)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--warmup", type=int, default=150)
+    ap.add_argument("--hard-k", type=int, default=8,
+                    help="bi-encoder top-k (non-target) mined as hard negatives")
+    ap.add_argument("--neg-per-pos", type=int, default=1,
+                    help="negatives per positive in each batch")
+    ap.add_argument("--cand-k", type=int, default=20,
+                    help="candidates reranked per held-out query at eval")
+    ap.add_argument("--holdout-frac", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-only", action="store_true")
+    args = ap.parse_args()
+
+    from tpu_rag.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpu_rag.models.bert import BertSpec
+    from tpu_rag.models.biencoder import BiEncoder
+    from tpu_rag.models.crossencoder import CrossEncoder, CrossEncoderModule
+    from tpu_rag.models.tokenizer import PAD_ID, load_tokenizer
+
+    os.makedirs(args.out, exist_ok=True)
+    vocab_path = os.path.join(args.biencoder, "vocab.txt")
+    bi_ckpt = os.path.abspath(os.path.join(args.biencoder, "ckpt"))
+    ckpt_path = os.path.abspath(os.path.join(args.out, "ckpt"))
+
+    docs = load_corpus(args.corpus)
+    train_docs, holdout = split_holdout(docs, args.holdout_frac)
+    print(f"corpus: {len(docs)} docs -> {len(train_docs)} train / {len(holdout)} holdout")
+
+    tok = load_tokenizer(vocab_path, vocab_size=30522)
+    vocab_size = getattr(tok, "vocab_size", 30522)
+    spec = BertSpec(hidden=384, layers=6, heads=12, ffn=1536,
+                    vocab_size=vocab_size, max_len=max(args.seq_len, 128))
+
+    print("[1/4] embedding corpus with the trained bi-encoder (hard-negative "
+          "mining + eval candidates) ...", flush=True)
+    bi = BiEncoder("minilm-l6-corpus", weights_path=bi_ckpt,
+                   tokenizer_path=vocab_path, seq_len=128, batch=128)
+    bodies = [d["body"] for d in docs]
+    demb = bi.embed(bodies)                                  # (N, H)
+    id_pos = {d["id"]: i for i, d in enumerate(docs)}
+
+    cls_id = getattr(tok, "cls_id", 1)
+    sep_id = getattr(tok, "sep_id", 2)
+    pad_id = getattr(tok, "pad_id", PAD_ID)
+    rng = np.random.default_rng(args.seed)
+
+    body_toks = [tok.tokenize_ids(b)[:400] for b in bodies]
+    q_toks_all = [tok.tokenize_ids(d["query"])[:46] for d in docs]
+
+    def pair_rows(qi: int, di: int, seq: int):
+        """[CLS] query [SEP] body-crop [SEP] with segment ids."""
+        q = q_toks_all[qi]
+        room = seq - len(q) - 3
+        b = body_toks[di]
+        if len(b) > room:
+            start = int(rng.integers(0, len(b) - room + 1))
+            b = b[start : start + room]
+        ids = [cls_id] + q + [sep_id] + b + [sep_id]
+        types = [0] * (len(q) + 2) + [1] * (len(b) + 1)
+        return ids, types
+
+    def assemble_pairs(rows, seq):
+        ids = np.full((len(rows), seq), pad_id, np.int32)
+        mask = np.zeros((len(rows), seq), np.int32)
+        types = np.zeros((len(rows), seq), np.int32)
+        for i, (r, t) in enumerate(rows):
+            ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+            types[i, : len(t)] = t
+        return ids, mask, types
+
+    if not args.eval_only:
+        print("[2/4] mining hard negatives (bi-encoder top non-target bodies) ...",
+              flush=True)
+        tpos = [id_pos[d["id"]] for d in train_docs]
+        tq = bi.embed([d["query"] for d in train_docs])
+        hard: list[np.ndarray] = []
+        for i in range(0, len(train_docs), 512):
+            scores = tq[i:i + 512] @ demb.T
+            top = np.argpartition(-scores, args.hard_k + 1, axis=1)[:, : args.hard_k + 1]
+            for r, target in zip(top, tpos[i:i + 512]):
+                hard.append(r[r != target][: args.hard_k])
+
+        print(f"[3/4] BCE training: {args.steps} steps x {args.batch} pairs ...",
+              flush=True)
+        module = CrossEncoderModule(
+            spec, dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
+        rng_j = jax.random.PRNGKey(args.seed)
+        z = jnp.zeros((1, 8), jnp.int32)
+        params = module.init(rng_j, z, jnp.ones((1, 8), jnp.int32), z)["params"]
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, args.warmup, args.steps, args.lr * 0.02)
+        optimizer = optax.adamw(schedule)
+        opt_state = optimizer.init(params)
+
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_fn(params, opt_state, ids, mask, types, labels):
+            def loss_fn(p):
+                logits = module.apply({"params": p}, ids, mask, types)
+                return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        n_pos = args.batch // (1 + args.neg_per_pos)
+
+        def sample_batch():
+            qi = rng.choice(len(train_docs), size=n_pos, replace=False)
+            rows, labels = [], []
+            for i in qi:
+                gq = id_pos[train_docs[i]["id"]]
+                rows.append(pair_rows(gq, gq, args.seq_len))
+                labels.append(1.0)
+                for _ in range(args.neg_per_pos):
+                    # hard negative 75% of the time, random otherwise
+                    if len(hard[i]) and rng.random() < 0.75:
+                        ni = int(rng.choice(hard[i]))
+                    else:
+                        ni = int(rng.integers(0, len(docs)))
+                        if ni == gq:
+                            ni = (ni + 1) % len(docs)
+                    rows.append(pair_rows(gq, ni, args.seq_len))
+                    labels.append(0.0)
+            ids, mask, types = assemble_pairs(rows, args.seq_len)
+            return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types),
+                    jnp.asarray(np.asarray(labels, np.float32)))
+
+        t0 = time.time()
+        for step in range(args.steps):
+            ids, mask, types, labels = sample_batch()
+            params, opt_state, loss = step_fn(params, opt_state, ids, mask, types, labels)
+            if step % 100 == 0 or step == args.steps - 1:
+                print(f"  step {step:5d}  loss {float(loss):.4f}  "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+
+        import orbax.checkpoint as ocp
+
+        params_f32 = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float32), params)
+        ck = ocp.StandardCheckpointer()
+        ck.save(ckpt_path, params_f32, force=True)
+        ck.wait_until_finished()
+        print(f"checkpoint -> {ckpt_path}")
+
+    print("[4/4] rerank lift on held-out retrieval ...", flush=True)
+    qemb = bi.embed([d["query"] for d in holdout])
+    targets = np.array([id_pos[d["id"]] for d in holdout])
+    cand = np.empty((len(holdout), args.cand_k), np.int64)
+    base_ranks = np.empty(len(holdout), np.int64)
+    for i in range(0, len(holdout), 256):
+        scores = qemb[i:i + 256] @ demb.T
+        part = np.argpartition(-scores, args.cand_k, axis=1)[:, : args.cand_k]
+        order = np.argsort(-np.take_along_axis(scores, part, axis=1), axis=1)
+        cand[i:i + 256] = np.take_along_axis(part, order, axis=1)
+        own = scores[np.arange(len(scores)), targets[i:i + 256]]
+        base_ranks[i:i + 256] = (scores > own[:, None]).sum(axis=1)
+
+    def rerank_ranks(ce: CrossEncoder, label: str) -> dict:
+        # flatten every (query, candidate) pair into large predict calls —
+        # per-query predicts would cost one device round-trip each
+        all_pairs = [(d["query"], bodies[int(c)])
+                     for i, d in enumerate(holdout) for c in cand[i]]
+        t0 = time.time()
+        flat = ce.predict(all_pairs).reshape(len(holdout), args.cand_k)
+        print(f"  scored {len(all_pairs)} pairs in {time.time() - t0:.0f}s",
+              flush=True)
+        ranks = np.full(len(holdout), 10**6, np.int64)
+        for i in range(len(holdout)):
+            reranked = cand[i][np.argsort(-flat[i], kind="stable")]
+            hit = np.flatnonzero(reranked == targets[i])
+            if len(hit):
+                ranks[i] = hit[0]
+        return rank_metrics(label, ranks)
+
+    results = [rank_metrics("biencoder_top20_no_rerank",
+                            np.where(base_ranks < args.cand_k, base_ranks, 10**6))]
+    trained_ce = CrossEncoder("minilm-l6-rerank", weights_path=ckpt_path,
+                              tokenizer_path=vocab_path, seq_len=args.seq_len,
+                              batch=256, spec=spec)
+    results.append(rerank_ranks(trained_ce, "trained_reranker"))
+    random_ce = CrossEncoder("minilm-l6-rerank", tokenizer_path=vocab_path,
+                             seq_len=args.seq_len, batch=256, spec=spec)
+    results.append(rerank_ranks(random_ce, "random_weights_round1"))
+
+    report = {
+        "task": "rerank the trained bi-encoder's top-20 on held-out "
+                "docstring summary -> body retrieval",
+        "corpus_docs": len(docs), "holdout_queries": len(holdout),
+        "train_steps": args.steps, "batch_pairs": args.batch,
+        "hard_negatives": args.hard_k, "results": results,
+        "serving": {"RERANK_WEIGHTS": ckpt_path, "TOKENIZER_PATH": vocab_path},
+    }
+    with open(os.path.join(args.out, "rerank.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    lines = ["| ranking | recall@1 | recall@5 | recall@10 | MRR@10 |",
+             "|---|---|---|---|---|"]
+    for r in results:
+        lines.append(f"| {r['label']} | {r['recall@1']} | {r['recall@5']} "
+                     f"| {r['recall@10']} | {r['mrr@10']} |")
+    table = "\n".join(lines)
+    with open(os.path.join(args.out, "RERANK.md"), "w") as f:
+        f.write(f"# Reranker quality\n\n{json.dumps(report['task'])}, "
+                f"{len(holdout)} held-out queries\n\n{table}\n")
+    print(table)
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,20 @@ def test_fused_through_microbatcher(tmp_path):
                for key in eng.index._xla_fn_cache)
 
 
+def test_fused_whole_window_batch(tmp_path):
+    """A microbatch window of distinct same-filter queries goes through ONE
+    fused dispatch and matches the two-step results row for row."""
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+    eng = RagEngine(_cfg(tmp_path, "window", microbatch=True), encoder=enc)
+    _seed(eng, enc)
+    queries = [f"document topic-{i} tok{i}" for i in range(3)]
+    out = eng._run_vector_batch([(q, 4, None, None) for q in queries])
+    assert len(out) == 3
+    for q, hits in zip(queries, out):
+        ref = vector_hits(eng.index, enc.embed([q]), 4, None, None)
+        assert [h["id"] for h in hits] == [h["id"] for h in ref]
+
+
 def test_fused_falls_back_for_fake_encoder(tmp_path):
     """Encoders without fused_forward (e.g. test fakes) just use the
     two-step path — no errors, same results."""

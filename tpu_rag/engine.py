@@ -201,13 +201,15 @@ class RagEngine:
             while len(self._qvec_cache) > self._qvec_cache_size:
                 self._qvec_cache.popitem(last=False)
 
-    def _fused_vector_hits(self, query: str, k: int, namespace: str | None,
-                           canonicality: str | None) -> list[dict] | None:
+    def _fused_vector_hits_batch(self, texts: list[str], k: int,
+                                 namespace: str | None,
+                                 canonicality: str | None
+                                 ) -> list[list[dict]] | None:
         """One-dispatch embed+search (FlatIndex.search_fused): the encoder
         forward and the top-k scan compile into a single executable, halving
         per-request device round-trips.  Returns None to fall back to the
-        two-step path (non-flat index, cached qvec handled by caller, empty
-        index, unseen filter tag, or any error)."""
+        two-step path (non-flat index, empty index, unseen filter tag, or
+        any error)."""
         from tpu_rag.index.flat import FlatIndex
 
         if (type(self.index) is not FlatIndex
@@ -215,22 +217,31 @@ class RagEngine:
             return None
         try:
             enc = self.encoder
+            if len(texts) > enc.batch:
+                return None  # window exceeds one encoder bucket
             fwd, fkey = enc.fused_forward()
-            ids, mask = enc.tokenize_batch([query], batch=enc._bucket(1))
+            ids, mask = enc.tokenize_batch(texts, batch=enc._bucket(len(texts)))
             kk = max(1, min(int(5 if k is None else k), 20))
             out = self.index.search_fused(
-                fwd, fkey, enc.params, ids, mask, 1, kk,
+                fwd, fkey, enc.params, ids, mask, len(texts), kk,
                 namespace=namespace or None, canonicality=canonicality or None)
             if out is None:
                 return None
             res, qv = out
-            self._qvec_store(hashlib.md5(query.encode("utf-8")).hexdigest(), qv)
+            for qi, text in enumerate(texts):
+                self._qvec_store(hashlib.md5(text.encode("utf-8")).hexdigest(),
+                                 qv[qi:qi + 1])
             from tpu_rag.retrieval.hybrid import result_hits
 
-            return result_hits(res, 0)
+            return [result_hits(res, qi) for qi in range(len(texts))]
         except Exception as e:
             logger.warning("fused embed+search failed (%s); falling back", e)
             return None
+
+    def _fused_vector_hits(self, query: str, k: int, namespace: str | None,
+                           canonicality: str | None) -> list[dict] | None:
+        out = self._fused_vector_hits_batch([query], k, namespace, canonicality)
+        return out[0] if out else None
 
     def query_vector(self, query: str, k: int, namespace: str | None,
                      canonicality: str | None, timings: StageTimings | None = None) -> list[dict]:
@@ -268,12 +279,17 @@ class RagEngine:
 
         from tpu_rag.retrieval.hybrid import vector_hits_batch
 
-        if len(items) == 1:
-            q1, k1, ns1, canon1 = items[0]
-            if self._qvec_cached(hashlib.md5(q1.encode("utf-8")).hexdigest()) is None:
-                hits = self._fused_vector_hits(q1, k1, ns1, canon1)
+        # whole-window fused path: one shared (k, ns, canon), all distinct
+        # cache misses -> ONE device dispatch for the entire window
+        if len({(k, ns, canon) for _, k, ns, canon in items}) == 1:
+            keys0 = [hashlib.md5(q.encode("utf-8")).hexdigest() for q, *_ in items]
+            if (len(set(keys0)) == len(keys0)
+                    and all(self._qvec_cached(kk) is None for kk in keys0)):
+                _, k1, ns1, canon1 = items[0]
+                hits = self._fused_vector_hits_batch(
+                    [q for q, *_ in items], k1, ns1, canon1)
                 if hits is not None:
-                    return [hits]
+                    return hits
 
         keys = [hashlib.md5(q.encode("utf-8")).hexdigest() for q, *_ in items]
         vecs: dict[str, object] = {}

@@ -48,12 +48,24 @@ class CrossEncoder:
     ) -> None:
         self.model_name = model_name
         self.spec = spec or spec_for_model(model_name)
-        self.seq_len = seq_len
-        self.batch = batch
         self.compute_dtype = jnp.bfloat16 if (dtype == "bfloat16" and jax.default_backend() == "tpu") else jnp.float32
+        # an orbax checkpoint (scripts/train_reranker.py) fixes the
+        # architecture: derive the spec from its shapes before building the
+        # module, exactly like BiEncoder does for embedding checkpoints
+        from tpu_rag.models.biencoder import _load_orbax_params
+
+        restored = _load_orbax_params(weights_path) if weights_path else None
+        if restored is not None:
+            from tpu_rag.models.bert import spec_from_params
+
+            restored = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), restored)
+            self.spec = spec_from_params(restored.get("bert", restored), self.spec)
+        self.seq_len = min(seq_len, self.spec.max_len)
+        self.batch = batch
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.spec.vocab_size)
         self.module = CrossEncoderModule(self.spec, dtype=self.compute_dtype)
-        self.params = self._init_params(weights_path)
+        self.params = restored if restored is not None else self._init_params(weights_path)
         self._jit_cache: dict[tuple[int, int], any] = {}
 
     def _init_params(self, weights_path: str):
