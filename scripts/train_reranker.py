@@ -7,10 +7,13 @@ bi-encoder): the reference serves a pretrained ms-marco cross-encoder
 (reference api/app.py:95-104); this image has no pretrained weights, so the
 reranker trains from scratch on the same docstring corpus —
 
+- trunk initialized FROM the trained bi-encoder checkpoint (the way real
+  ms-marco cross-encoders start from pretrained BERT — a from-scratch trunk
+  flatlines at chance, measured in the --no-biencoder-init ablation);
 - pairs: (summary query, body) positives; negatives are HARD: the trained
   bi-encoder's top-ranked non-target bodies for each query (the candidates a
   reranker must actually discriminate at serving time), plus random bodies;
-- loss: binary cross-entropy on the single relevance logit
+- loss: grouped softmax ranking over [positive, negatives...] logits
   (CrossEncoderModule — same head layout as ms-marco checkpoints);
 - eval: rerank the trained bi-encoder's top-20 candidates for held-out
   queries; report recall@k / MRR@10 before vs after, plus the round-1
@@ -81,18 +84,30 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=150)
     ap.add_argument("--hard-k", type=int, default=8,
                     help="bi-encoder top-k (non-target) mined as hard negatives")
-    ap.add_argument("--neg-per-pos", type=int, default=1,
+    ap.add_argument("--neg-per-pos", type=int, default=3,
                     help="negatives per positive in each batch")
     ap.add_argument("--cand-k", type=int, default=20,
                     help="candidates reranked per held-out query at eval")
     ap.add_argument("--holdout-frac", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--no-biencoder-init", action="store_true",
+                    help="ablation: train the trunk from scratch instead of "
+                         "initializing it from the bi-encoder checkpoint")
     args = ap.parse_args()
 
     from tpu_rag.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
+
+    # honor JAX_PLATFORMS even when a site hook (e.g. the axon TPU plugin)
+    # overrides platform selection after env parsing — tests set
+    # JAX_PLATFORMS=cpu and must NOT touch the tunneled TPU
+    if os.getenv("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.getenv("JAX_PLATFORMS"))
+        except Exception:
+            pass
     import jax.numpy as jnp
     import optax
 
@@ -165,13 +180,36 @@ def main() -> None:
             for r, target in zip(top, tpos[i:i + 512]):
                 hard.append(r[r != target][: args.hard_k])
 
-        print(f"[3/4] BCE training: {args.steps} steps x {args.batch} pairs ...",
-              flush=True)
+        print(f"[3/4] ranking training: {args.steps} steps x {args.batch} pairs "
+              f"(groups of 1 pos + {args.neg_per_pos} negs) ...", flush=True)
+        # Initialize the trunk FROM the trained bi-encoder (the way real
+        # ms-marco cross-encoders start from a pretrained BERT): a
+        # from-scratch trunk barely learns pair classification (BCE loss
+        # flatlined at ~ln 2 in the ablation), while the bi-encoder trunk
+        # already carries the corpus semantics.  Pooler/classifier stay
+        # randomly initialized.  The ckpt fixes the architecture (incl.
+        # max_len -> clamp seq_len).
+        bert_init = None
+        if not args.no_biencoder_init:
+            from tpu_rag.models.bert import spec_from_params
+            from tpu_rag.models.biencoder import _load_orbax_params
+
+            bert_init = _load_orbax_params(bi_ckpt)
+            if bert_init is not None:
+                bert_init = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.float32), bert_init)
+                spec = spec_from_params(bert_init, spec)
+                args.seq_len = min(args.seq_len, spec.max_len)
+                print(f"  trunk initialized from the trained bi-encoder ckpt "
+                      f"(seq_len -> {args.seq_len})")
         module = CrossEncoderModule(
             spec, dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
         rng_j = jax.random.PRNGKey(args.seed)
         z = jnp.zeros((1, 8), jnp.int32)
         params = module.init(rng_j, z, jnp.ones((1, 8), jnp.int32), z)["params"]
+        if bert_init is not None:
+            params = dict(params)
+            params["bert"] = bert_init
         schedule = optax.warmup_cosine_decay_schedule(
             0.0, args.lr, args.warmup, args.steps, args.lr * 0.02)
         optimizer = optax.adamw(schedule)
@@ -179,24 +217,29 @@ def main() -> None:
 
         import functools
 
+        group = 1 + args.neg_per_pos
+        n_pos = args.batch // group
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step_fn(params, opt_state, ids, mask, types, labels):
+        def step_fn(params, opt_state, ids, mask, types):
             def loss_fn(p):
                 logits = module.apply({"params": p}, ids, mask, types)
-                return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+                # grouped softmax ranking loss: each group is [pos, negs...];
+                # the model must rank its positive above ITS OWN negatives —
+                # the objective the reranker is used for at serving time
+                g = logits.reshape(n_pos, group)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    g, jnp.zeros((n_pos,), jnp.int32)).mean()
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        n_pos = args.batch // (1 + args.neg_per_pos)
-
         def sample_batch():
             qi = rng.choice(len(train_docs), size=n_pos, replace=False)
-            rows, labels = [], []
+            rows = []
             for i in qi:
                 gq = id_pos[train_docs[i]["id"]]
                 rows.append(pair_rows(gq, gq, args.seq_len))
-                labels.append(1.0)
                 for _ in range(args.neg_per_pos):
                     # hard negative 75% of the time, random otherwise
                     if len(hard[i]) and rng.random() < 0.75:
@@ -206,15 +249,13 @@ def main() -> None:
                         if ni == gq:
                             ni = (ni + 1) % len(docs)
                     rows.append(pair_rows(gq, ni, args.seq_len))
-                    labels.append(0.0)
             ids, mask, types = assemble_pairs(rows, args.seq_len)
-            return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types),
-                    jnp.asarray(np.asarray(labels, np.float32)))
+            return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
 
         t0 = time.time()
         for step in range(args.steps):
-            ids, mask, types, labels = sample_batch()
-            params, opt_state, loss = step_fn(params, opt_state, ids, mask, types, labels)
+            ids, mask, types = sample_batch()
+            params, opt_state, loss = step_fn(params, opt_state, ids, mask, types)
             if step % 100 == 0 or step == args.steps - 1:
                 print(f"  step {step:5d}  loss {float(loss):.4f}  "
                       f"({time.time() - t0:.0f}s)", flush=True)

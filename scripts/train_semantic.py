@@ -177,6 +177,15 @@ def main() -> None:
     from tpu_rag.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
+
+    # honor JAX_PLATFORMS even when a site hook (e.g. the axon TPU plugin)
+    # overrides platform selection after env parsing — tests set
+    # JAX_PLATFORMS=cpu and must NOT touch the tunneled TPU
+    if os.getenv("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.getenv("JAX_PLATFORMS"))
+        except Exception:
+            pass
     from jax.sharding import Mesh
 
     from tpu_rag.models.bert import BertSpec

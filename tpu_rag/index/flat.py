@@ -562,29 +562,34 @@ class FlatIndex:
         fn = self._xla_fn_cache.get(key)
         if fn is None:
             bn = snap["bn"]
-            if use_pallas:
-                def impl(params, tids, tmask, x, s, ns_t, canon_t, w):
-                    q = forward(params, tids, tmask)
+
+            def impl(params, tids, tmask, x, s, ns_t, canon_t, w):
+                q = forward(params, tids, tmask)
+                if use_pallas:
                     sc, ii = fused_matmul_topk(
                         q, x, k_scan, db_scales=s, ns_tags=ns_t,
                         canon_tags=canon_t, wants=w, assume_padded=True,
                         block_n=bn, mode=mode)
-                    return sc, ii, q
-            else:
-                def impl(params, tids, tmask, x, s, ns_t, canon_t, w):
-                    q = forward(params, tids, tmask)
+                else:
                     sc, ii = topk_xla_reference(
                         q, x, k_scan, db_scales=s, ns_tags=ns_t,
                         canon_tags=canon_t, want_ns=w[0, 0],
                         want_canon=w[0, 1])
-                    return sc, ii, q
+                # pack (scores | bitcast ids | embeddings) into ONE f32 array:
+                # a single host readback instead of three — each separate
+                # np.asarray sync costs a full RTT on tunneled backends
+                return jnp.concatenate(
+                    [sc, jax.lax.bitcast_convert_type(ii, jnp.float32), q],
+                    axis=1)
+
             fn = jax.jit(impl)
             self._xla_fn_cache[key] = fn
-        sc, idx, qv = fn(params, jnp.asarray(ids), jnp.asarray(mask),
-                         snap["vectors"], snap["scales"],
-                         snap["ns"], snap["canon"], wants)
-        qv_np = np.asarray(qv)[:nq]
-        sc, idx = np.asarray(sc)[:nq], np.asarray(idx)[:nq]
+        packed = np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(mask),
+                               snap["vectors"], snap["scales"],
+                               snap["ns"], snap["canon"], wants))[:nq]
+        sc = packed[:, :k_scan].copy()
+        idx = np.ascontiguousarray(packed[:, k_scan:2 * k_scan]).view(np.int32)
+        qv_np = packed[:, 2 * k_scan:].copy()
         hrows = self._device_to_host_rows(sc, idx, snap["rows"], snap["n"])
         if snap.get("a_fill", 0) > 0:
             sc, hrows = self._merge_append_block(jnp.asarray(qv_np), sc, hrows,
