@@ -273,16 +273,33 @@ def main() -> None:
     qemb = bi.embed([d["query"] for d in holdout])
     targets = np.array([id_pos[d["id"]] for d in holdout])
     cand = np.empty((len(holdout), args.cand_k), np.int64)
+    cand_sc = np.empty((len(holdout), args.cand_k), np.float32)
     base_ranks = np.empty(len(holdout), np.int64)
     for i in range(0, len(holdout), 256):
         scores = qemb[i:i + 256] @ demb.T
         part = np.argpartition(-scores, args.cand_k, axis=1)[:, : args.cand_k]
         order = np.argsort(-np.take_along_axis(scores, part, axis=1), axis=1)
         cand[i:i + 256] = np.take_along_axis(part, order, axis=1)
+        cand_sc[i:i + 256] = np.take_along_axis(
+            np.take_along_axis(scores, part, axis=1), order, axis=1)
         own = scores[np.arange(len(scores)), targets[i:i + 256]]
         base_ranks[i:i + 256] = (scores > own[:, None]).sum(axis=1)
 
-    def rerank_ranks(ce: CrossEncoder, label: str) -> dict:
+    def _ranks_from(order_scores: np.ndarray) -> np.ndarray:
+        ranks = np.full(len(holdout), 10**6, np.int64)
+        for i in range(len(holdout)):
+            reranked = cand[i][np.argsort(-order_scores[i], kind="stable")]
+            hit = np.flatnonzero(reranked == targets[i])
+            if len(hit):
+                ranks[i] = hit[0]
+        return ranks
+
+    def _znorm(x: np.ndarray) -> np.ndarray:
+        mu = x.mean(axis=1, keepdims=True)
+        sd = x.std(axis=1, keepdims=True)
+        return (x - mu) / np.maximum(sd, 1e-6)
+
+    def rerank_ranks(ce: CrossEncoder, label: str) -> tuple[dict, np.ndarray]:
         # flatten every (query, candidate) pair into large predict calls —
         # per-query predicts would cost one device round-trip each
         all_pairs = [(d["query"], bodies[int(c)])
@@ -291,23 +308,23 @@ def main() -> None:
         flat = ce.predict(all_pairs).reshape(len(holdout), args.cand_k)
         print(f"  scored {len(all_pairs)} pairs in {time.time() - t0:.0f}s",
               flush=True)
-        ranks = np.full(len(holdout), 10**6, np.int64)
-        for i in range(len(holdout)):
-            reranked = cand[i][np.argsort(-flat[i], kind="stable")]
-            hit = np.flatnonzero(reranked == targets[i])
-            if len(hit):
-                ranks[i] = hit[0]
-        return rank_metrics(label, ranks)
+        return rank_metrics(label, _ranks_from(flat)), flat
 
     results = [rank_metrics("biencoder_top20_no_rerank",
                             np.where(base_ranks < args.cand_k, base_ranks, 10**6))]
     trained_ce = CrossEncoder("minilm-l6-rerank", weights_path=ckpt_path,
                               tokenizer_path=vocab_path, seq_len=args.seq_len,
                               batch=256, spec=spec)
-    results.append(rerank_ranks(trained_ce, "trained_reranker"))
+    row, ce_scores = rerank_ranks(trained_ce, "trained_reranker")
+    results.append(row)
+    # production-style interpolation: z-normalize both score lists per query
+    # and sum — the cross-encoder contributes pair-interaction signal on top
+    # of the bi-encoder ordering instead of replacing it
+    results.append(rank_metrics("ensemble_bi+trained_ce",
+                                _ranks_from(_znorm(cand_sc) + _znorm(ce_scores))))
     random_ce = CrossEncoder("minilm-l6-rerank", tokenizer_path=vocab_path,
                              seq_len=args.seq_len, batch=256, spec=spec)
-    results.append(rerank_ranks(random_ce, "random_weights_round1"))
+    results.append(rerank_ranks(random_ce, "random_weights_round1")[0])
 
     report = {
         "task": "rerank the trained bi-encoder's top-20 on held-out "

@@ -102,6 +102,6 @@ def test_train_reranker_end_to_end(tmp_path):
     report = json.load(open(out / "rerank.json"))
     labels = [r["label"] for r in report["results"]]
     assert labels == ["biencoder_top20_no_rerank", "trained_reranker",
-                      "random_weights_round1"]
+                      "ensemble_bi+trained_ce", "random_weights_round1"]
     assert os.path.isdir(out / "ckpt")
     assert (out / "RERANK.md").read_text().startswith("# Reranker quality")
