@@ -66,6 +66,29 @@ def test_biencoder_deterministic_and_normalized():
     np.testing.assert_allclose(e1[0], e3[0], atol=1e-4)
 
 
+def test_biencoder_length_bucketing_parity():
+    """Length-bucketed embed returns the SAME embeddings as a fixed-seq_len
+    forward: padding is fully masked in attention and in the mean pool."""
+    import jax.numpy as jnp
+
+    from tpu_rag.models.tokenizer import encode_batch
+
+    enc = BiEncoder(spec=BertSpec(vocab_size=512, hidden=64, layers=2, heads=4,
+                                  ffn=128, max_len=64),
+                    seq_len=64, batch=8)
+    texts = ["short", "a few more words here",
+             "a much longer text " * 6, "tiny", "mid length sentence ok",
+             "another very long body of text with many words " * 3]
+    bucketed = enc.embed(texts)
+    # reference: everything padded to the full seq_len, original order
+    ids, mask = encode_batch(enc.tokenizer, texts, enc.seq_len, batch=8)
+    fn = enc._forward_fn(8, enc.seq_len)
+    ref = np.asarray(fn(enc.params, jnp.asarray(ids), jnp.asarray(mask)))[:len(texts)]
+    np.testing.assert_allclose(bucketed, ref, atol=2e-5)
+    # mixed lengths actually exercised >1 seq bucket
+    assert len({key[1] for key in enc._jit_cache}) > 1
+
+
 def test_crossencoder_scores():
     ce = CrossEncoder(spec=BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128, max_len=64),
                       seq_len=32, batch=8)

@@ -169,20 +169,50 @@ class BiEncoder:
                 return b
         return max(self.batch, unit)
 
+    # sequence-length buckets for embed(): a batch compiles/runs at the
+    # smallest bucket >= its longest row, so short texts don't pay the full
+    # seq_len of padding FLOPs (real corpora are length-skewed — most chunks
+    # are far shorter than the 256-token budget).  Embeddings are identical
+    # to the fixed-length path: padding is fully masked in attention and in
+    # the mean pool (parity-tested in tests/test_models.py).
+    SEQ_BUCKETS = (32, 64, 128, 256, 512)
+
+    def _seq_bucket(self, longest_row: int) -> int:
+        for t in self.SEQ_BUCKETS:
+            if t >= longest_row and t <= self.seq_len:
+                return t
+        return self.seq_len
+
     def embed(self, texts: list[str]) -> np.ndarray:
-        """Batched embed: returns (len(texts), dim) float32, L2-normalized."""
+        """Batched embed: returns (len(texts), dim) float32, L2-normalized.
+
+        Texts are tokenized once, sorted by token length, and batched into
+        per-batch sequence-length buckets (jit cache is keyed per (batch,
+        seq) shape, so each bucket compiles once)."""
         if not texts:
             return np.zeros((0, self.dim), np.float32)
-        out = np.zeros((len(texts), self.dim), np.float32)
+        n = len(texts)
+        from tpu_rag.models.tokenizer import _special_ids
+
+        cls_id, sep_id, pad_id = _special_ids(self.tokenizer)
+        toks = [self.tokenizer.tokenize_ids(t)[: self.seq_len - 2] for t in texts]
+        order = sorted(range(n), key=lambda i: len(toks[i]))
+        out = np.zeros((n, self.dim), np.float32)
         i = 0
-        while i < len(texts):
-            chunk = texts[i : i + self.batch]
-            b = self._bucket(len(chunk))
-            ids, mask = encode_batch(self.tokenizer, chunk, self.seq_len, batch=b)
-            fn = self._forward_fn(b, self.seq_len)
-            emb = fn(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            out[i : i + len(chunk)] = np.asarray(emb)[: len(chunk)]
-            i += len(chunk)
+        while i < n:
+            rows = order[i : i + self.batch]
+            b = self._bucket(len(rows))
+            t = self._seq_bucket(max(len(toks[j]) for j in rows) + 2)
+            ids = np.full((b, t), pad_id, np.int32)
+            mask = np.zeros((b, t), np.int32)
+            for r, j in enumerate(rows):
+                row = [cls_id] + toks[j] + [sep_id]
+                ids[r, : len(row)] = row
+                mask[r, : len(row)] = 1
+            fn = self._forward_fn(b, t)
+            emb = np.asarray(fn(self.params, jnp.asarray(ids), jnp.asarray(mask)))
+            out[rows] = emb[: len(rows)]
+            i += len(rows)
         return out
 
     def embed_one(self, text: str) -> np.ndarray:
