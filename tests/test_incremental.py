@@ -195,3 +195,77 @@ def test_int8_refine_recall_gate():
         rec = np.mean([len(set(r.ids[i]) & set(gt.ids[i])) / k
                        for i in range(len(q))])
         assert rec >= 0.99, f"{dtype} recall@10 {rec:.4f} below the 0.99 bar"
+
+
+def test_ivf_device_merge_absorbs_overflow():
+    """Streaming build: after the first build, new rows are merged into the
+    resident device lists (assignment + scatter, O(new) transfers) instead
+    of re-uploading the main partition or waiting for a full rebuild."""
+    ids, vecs, metas = _mk(2000, seed=8)
+    ivf = IVFIndex(32, dtype="float32", nlist=16, nprobe=4, use_pallas=False)
+    ivf.add(ids, vecs, None, metas)
+    ivf.search(vecs[0], 1)  # first snapshot: full build
+    rng = np.random.default_rng(9)
+    newv = rng.standard_normal((100, 32)).astype(np.float32)
+    ivf.add([f"n{i}" for i in range(100)], newv, None,
+            [{"namespace": "a"}] * 100)
+    ivf.compact()
+    ivf.device_snapshot()  # compact() only marks dirty; merge runs here
+    merges = ivf.snapshot_stats.get("ivf_device_merges", 0)
+    assert merges >= 90, f"device merge absorbed only {merges}/100 rows"
+    # merged rows are found through the PROBE path (their assignment
+    # centroid is the query's top-1 for an identical vector)
+    assert ivf.search(newv[7], 1).ids[0][0] == "n7"
+    assert ivf.search(newv[63], 1).ids[0][0] == "n63"
+    # and they are no longer exact-overflow rows
+    snap = ivf.device_snapshot()
+    n7_row = ivf._id_to_row["n7"]
+    assert n7_row not in set(snap["ov_rows"].tolist())
+    assert n7_row in set(ivf._main_rows.tolist())
+    # old rows unaffected
+    assert ivf.search(vecs[123], 1).ids[0][0] == "v123"
+
+
+def test_ivf_device_merge_capacity_spill_stays_searchable():
+    """Rows that find no spare list slot stay in the exact overflow buffer
+    and remain exactly searchable."""
+    ids, vecs, metas = _mk(1200, seed=11)
+    ivf = IVFIndex(32, dtype="float32", nlist=8, nprobe=8, use_pallas=False,
+                   list_cap_factor=0.6)  # lists mostly full from the start
+    ivf.add(ids, vecs, None, metas)
+    ivf.search(vecs[0], 1)
+    rng = np.random.default_rng(12)
+    newv = rng.standard_normal((64, 32)).astype(np.float32)
+    ivf.add([f"s{i}" for i in range(64)], newv, None, [{}] * 64)
+    ivf.compact()
+    for i in (0, 13, 63):
+        assert ivf.search(newv[i], 1).ids[0][0] == f"s{i}"
+
+
+def test_ivf_delete_of_device_merged_row():
+    ids, vecs, metas = _mk(1500, seed=13)
+    ivf = IVFIndex(32, dtype="float32", nlist=12, nprobe=12, use_pallas=False)
+    ivf.add(ids, vecs, None, metas)
+    ivf.search(vecs[0], 1)
+    new = np.full((1, 32), 0.31, np.float32)
+    ivf.add(["m0"], new, ["d"], [{}])
+    ivf.compact()  # m0 merged into a device list
+    assert ivf.search(new, 1).ids[0][0] == "m0"
+    ivf.delete(ids=["m0"])
+    res = ivf.search(new, 3)
+    assert "m0" not in res.ids[0] and len(res.ids[0]) == 3
+
+
+def test_ivf_device_merge_int8():
+    ids, vecs, metas = _mk(1500, seed=14)
+    ivf = IVFIndex(32, dtype="int8", nlist=12, nprobe=6, use_pallas=False)
+    ivf.add(ids, vecs, None, metas)
+    ivf.search(vecs[0], 1)
+    rng = np.random.default_rng(15)
+    newv = rng.standard_normal((40, 32)).astype(np.float32)
+    ivf.add([f"q{i}" for i in range(40)], newv, None, [{}] * 40)
+    ivf.compact()
+    ivf.device_snapshot()
+    assert ivf.snapshot_stats.get("ivf_device_merges", 0) >= 35
+    for i in (0, 21, 39):
+        assert ivf.search(newv[i], 1).ids[0][0] == f"q{i}"

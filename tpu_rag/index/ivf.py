@@ -10,12 +10,15 @@ pointer-chasing graph walk.
 Streaming ingestion without full rebuild (SURVEY.md §7 "hard parts"):
 new rows stream into the FlatIndex device append block (transfer O(new),
 see index/flat.py) and are searched exactly alongside the IVF candidates.
-Compactions keep the main partition's device arrays when centroids are
-reusable — only the (small) spill/overflow set is re-uploaded — and a full
-re-cluster happens only when the overflow exceeds `rebuild_ratio` of the
-main partition.  Deletions are host-filtered for main-partition rows (the
-tombstoned rows stop being returned immediately; their HBM slots are
-reclaimed at the next compaction) and tag-killed in place for append rows.
+At compaction, overflow rows are MERGED into the resident device lists on
+device (_merge_overflow_device: centroid-assignment matmul + chunked
+scatter into spare list slots — transfer stays O(overflow); the main
+partition never crosses the host boundary).  Rows that find no spare slot
+stay in the exact overflow buffer; a full re-cluster happens only when
+that spill exceeds `rebuild_ratio` of the main partition or the corpus
+outgrows the trained centroids (2x).  Deletions tag-kill in place wherever
+the row lives (append block, inverted lists via the host slot map, or
+overflow).
 """
 
 from __future__ import annotations
@@ -61,6 +64,22 @@ def _probe_impl(q, centroids, vec_lists, scale_lists, ns_lists, canon_lists,
 
 _ivf_probe = jax.jit(_probe_impl, static_argnames=("nprobe", "k"))
 
+MERGE_GRANULE = 256
+
+
+@jax.jit
+def _merge_rows_device(vec_lists, scale_lists, ns_lists, canon_lists, row_lists,
+                       l_idx, s_idx, vals, scales, ns, canon, rows):
+    """Scatter one MERGE_GRANULE chunk of overflow rows into their (list,
+    slot) positions.  Padding entries repeat the first row (same indices +
+    same values -> idempotent)."""
+    vec_lists = vec_lists.at[l_idx, s_idx].set(vals)
+    scale_lists = scale_lists.at[l_idx, s_idx].set(scales)
+    ns_lists = ns_lists.at[l_idx, s_idx].set(ns)
+    canon_lists = canon_lists.at[l_idx, s_idx].set(canon)
+    row_lists = row_lists.at[l_idx, s_idx].set(rows)
+    return vec_lists, scale_lists, ns_lists, canon_lists, row_lists
+
 
 class IVFIndex(FlatIndex):
     kind = "ivf"
@@ -98,6 +117,7 @@ class IVFIndex(FlatIndex):
         self._ov_fn_cache: dict[int, Any] = {}  # jitted overflow search per k
         self._cached_centroids: np.ndarray | None = None  # persisted / last build
         self._centroids_trained_n = 0
+        self._list_fill: np.ndarray | None = None  # per-list occupied slots
 
     # ------------------------------------------------------------- build
 
@@ -145,6 +165,14 @@ class IVFIndex(FlatIndex):
                         "canon_lists", "row_lists", "nlist"):
                 snap[key] = prev[key]
             overflow_mask[np.isin(live, main_rows)] = False
+            # streaming build: absorb overflow rows into the resident lists
+            # on device (assignment matmul + chunked scatter — transfer is
+            # O(overflow), nothing of the main partition moves).  Rows that
+            # find no spare list slot stay in the exact overflow buffer; a
+            # full rebuild happens only when spill keeps accumulating past
+            # rebuild_ratio or the corpus outgrows the centroids.
+            remaining = self._merge_overflow_device(snap, live[overflow_mask])
+            overflow_mask = np.isin(live, remaining)
         elif len(main_rows) > 0:
             from tpu_rag.ops.ivf_build import group_lists
             from tpu_rag.ops.kmeans import assign_clusters
@@ -196,6 +224,9 @@ class IVFIndex(FlatIndex):
             slot_map = np.full(len(self._ids), -1, np.int64)
             slot_map[in_lists_rows] = (sorted_assign * cap + slots)[fits_np]
             self._main_slot_of = slot_map
+            # per-list occupancy, the device-merge path's free-slot ledger
+            self._list_fill = np.bincount(sorted_assign[fits_np],
+                                          minlength=nlist).astype(np.int64)
 
             if self.dtype == "int8":
                 vals, scales = quantize_int8_rows(vec_lists.reshape(-1, self.dim))
@@ -229,6 +260,81 @@ class IVFIndex(FlatIndex):
         # search functions are snapshot-shape-specific
         self._ov_fn_cache.clear()
         return snap
+
+    def _merge_overflow_device(self, snap: dict[str, Any],
+                               ov_rows: np.ndarray) -> np.ndarray:
+        """Merge overflow rows into the resident device lists: assign each to
+        its nearest centroid on device, then scatter rows into lists with
+        spare capacity (MERGE_GRANULE chunks).  Returns the rows that found
+        no slot (they stay in the exact overflow buffer).  Transfers:
+        O(overflow) up (the rows), O(overflow) down (the assignments)."""
+        nlist = snap.get("nlist", 0)
+        if nlist == 0 or len(ov_rows) == 0 or self._list_fill is None:
+            return ov_rows
+        cap = snap["vec_lists"].shape[1]
+        fill = self._list_fill
+        if int(np.sum(cap - np.minimum(fill, cap))) <= 0:
+            return ov_rows
+        from tpu_rag.ops.kmeans import assign_clusters
+
+        x_ov = jnp.asarray(self._vectors[ov_rows].astype(np.float32))
+        assign = np.asarray(assign_clusters(x_ov, snap["centroids"])).astype(np.int64)
+
+        # rank each row within its target list; rows past the cap spill
+        order = np.argsort(assign, kind="stable")
+        sa = assign[order]
+        within = np.arange(len(sa)) - np.searchsorted(sa, sa)
+        cand_slot = fill[sa] + within
+        ok = cand_slot < cap
+        slots = np.full(len(ov_rows), -1, np.int64)
+        slots[order[ok]] = cand_slot[ok]
+        sel = slots >= 0
+        if not sel.any():
+            return ov_rows
+
+        sel_idx = np.flatnonzero(sel)
+        l_idx_np = assign[sel].astype(np.int32)
+        s_idx_np = slots[sel].astype(np.int32)
+        rows_np = ov_rows[sel].astype(np.int32)
+        ns_np = self._ns[ov_rows[sel]].astype(np.int32)
+        canon_np = self._canon[ov_rows[sel]].astype(np.int32)
+        x_sel = x_ov[jnp.asarray(sel_idx.astype(np.int32))]
+        if self.dtype == "int8":
+            vals_dev, scales_dev = quantize_int8_rows(x_sel)
+        else:
+            jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+            vals_dev = x_sel.astype(jdt)
+            scales_dev = jnp.ones((len(sel_idx),), jnp.float32)
+
+        n_sel = len(sel_idx)
+        for i in range(0, n_sel, MERGE_GRANULE):
+            j = min(i + MERGE_GRANULE, n_sel)
+            idx = np.arange(i, j)
+            if len(idx) < MERGE_GRANULE:  # idempotent repeat padding
+                idx = np.concatenate([idx, np.full(MERGE_GRANULE - len(idx), i)])
+            ij = jnp.asarray(idx.astype(np.int32))
+            (snap["vec_lists"], snap["scale_lists"], snap["ns_lists"],
+             snap["canon_lists"], snap["row_lists"]) = _merge_rows_device(
+                snap["vec_lists"], snap["scale_lists"], snap["ns_lists"],
+                snap["canon_lists"], snap["row_lists"],
+                jnp.asarray(l_idx_np[idx]), jnp.asarray(s_idx_np[idx]),
+                vals_dev[ij], scales_dev[ij],
+                jnp.asarray(ns_np[idx]), jnp.asarray(canon_np[idx]),
+                jnp.asarray(rows_np[idx]))
+
+        # host bookkeeping: merged rows are main now
+        merged = ov_rows[sel]
+        self._list_fill = fill + np.bincount(assign[sel], minlength=nlist)
+        self._main_rows = np.sort(np.concatenate(
+            [self._main_rows, merged.astype(np.int64)]))
+        if len(self._main_slot_of) < len(self._ids):
+            self._main_slot_of = np.concatenate(
+                [self._main_slot_of,
+                 np.full(len(self._ids) - len(self._main_slot_of), -1, np.int64)])
+        self._main_slot_of[merged] = assign[sel] * cap + slots[sel]
+        self.snapshot_stats["ivf_device_merges"] = (
+            self.snapshot_stats.get("ivf_device_merges", 0) + int(sel.sum()))
+        return ov_rows[~sel]
 
     def _flush_kills(self, snap: dict[str, Any]) -> None:
         """IVF deletions tag-kill in place on device, wherever the row lives:
