@@ -261,6 +261,7 @@ def main() -> None:
     # ---------------- end-to-end /search latency (tokenize + MiniLM encode +
     # index search + readback), p50 over fresh single queries
     e2e_p50_ms = None
+    http_search_qps = None
     tpu_build_s = None
     try:
         from tpu_rag.index import FlatIndex
@@ -288,6 +289,53 @@ def main() -> None:
                 lats.append(time.perf_counter() - t0)
             lats.sort()
             e2e_p50_ms = round(lats[len(lats) // 2] * 1000, 1)
+
+            # batched serving through the HTTP path: concurrent single-query
+            # /search requests against the first-party server — the
+            # microbatcher fuses concurrent embeds+scans into shared device
+            # passes, so this measures the full serving stack, not just the
+            # index API
+            try:
+                import socket
+                import threading
+
+                import requests as _rq
+
+                from tpu_rag.api.app import create_app
+                from tpu_rag.api.server import HTTPServer
+
+                s = socket.socket()
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+                s.close()
+                srv = HTTPServer(create_app(cfg, engine=eng), "127.0.0.1", port)
+                threading.Thread(target=srv.run, daemon=True).start()
+                base = f"http://127.0.0.1:{port}"
+                for _ in range(100):
+                    try:
+                        _rq.get(base + "/health", timeout=0.5)
+                        break
+                    except Exception:
+                        time.sleep(0.05)
+                _rq.post(base + "/search",
+                         json={"query": "warm the http path", "k": k}, timeout=120)
+                T, R = 8, 6
+
+                def _worker(t):
+                    for r in range(R):
+                        _rq.post(base + "/search",
+                                 json={"query": f"http load t{t} r{r} topic {t * R + r}",
+                                       "k": k}, timeout=120)
+
+                t0 = time.perf_counter()
+                ths = [threading.Thread(target=_worker, args=(t,)) for t in range(T)]
+                for x in ths:
+                    x.start()
+                for x in ths:
+                    x.join()
+                http_search_qps = round(T * R / (time.perf_counter() - t0), 1)
+            except Exception:
+                http_search_qps = None
     except Exception:
         pass
 
@@ -360,6 +408,7 @@ def main() -> None:
         "baseline_cpu_bruteforce_qps": round(cpu_qps, 1),
         "recall_at_10_vs_f32_exact": recall,
         "e2e_search_p50_ms": e2e_p50_ms,  # tokenize + encode + search + readback
+        "http_search_qps": http_search_qps,  # concurrent /search through the HTTP server
         "qps_xla_batch8": round(qps_batch8, 1),  # small-batch (latency-mode) QPS
         "tpu_index_build_s": tpu_build_s,  # vs baseline_cpu_ann.build_s (graph build)
         "backend": backend,
