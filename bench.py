@@ -62,7 +62,12 @@ def _preflight_marker(n, d, k, qbatch) -> str:
             src = f.read()
     except OSError:
         src = b""
-    tag = hashlib.blake2b(src + f"{n}:{d}:{k}:{qbatch}".encode(),
+    try:  # the marker is only as good as the persistent compile cache it
+        import jax  # stands for: key it to the jax version and require the
+        ver = jax.__version__.encode()  # cache dir to actually have entries
+    except Exception:
+        ver = b""
+    tag = hashlib.blake2b(src + ver + f"{n}:{d}:{k}:{qbatch}".encode(),
                           digest_size=8).hexdigest()
     return f"/tmp/tpu_rag_preflight_{tag}.ok"
 
@@ -76,7 +81,8 @@ def _pallas_preflight(n, d, k, qbatch) -> bool:
     warm the compile cache for the next run."""
     ks = tuple(sorted({int(k), 10}))  # serving k_scan + the scale section's k
     marker = _preflight_marker(n, d, ks, qbatch)
-    if os.path.isfile(marker):
+    cache_dir = os.getenv("JAX_COMPILATION_CACHE_DIR") or "/tmp/tpu_rag_jax_cache"
+    if os.path.isfile(marker) and os.path.isdir(cache_dir) and os.listdir(cache_dir):
         return True
     repo = os.path.dirname(os.path.abspath(__file__))
     code = _PREFLIGHT_SNIPPET.format(repo=repo, n=n, d=d, ks=ks, qbatch=qbatch,
@@ -262,6 +268,7 @@ def main() -> None:
     # index search + readback), p50 over fresh single queries
     e2e_p50_ms = None
     http_search_qps = None
+    http_search_failed = None
     tpu_build_s = None
     try:
         from tpu_rag.index import FlatIndex
@@ -320,12 +327,21 @@ def main() -> None:
                 _rq.post(base + "/search",
                          json={"query": "warm the http path", "k": k}, timeout=120)
                 T, R = 8, 6
+                ok_count = [0]
+                ok_lock = threading.Lock()
 
                 def _worker(t):
                     for r in range(R):
-                        _rq.post(base + "/search",
-                                 json={"query": f"http load t{t} r{r} topic {t * R + r}",
-                                       "k": k}, timeout=120)
+                        try:
+                            resp = _rq.post(
+                                base + "/search",
+                                json={"query": f"http load t{t} r{r} topic {t * R + r}",
+                                      "k": k}, timeout=120)
+                            if resp.status_code == 200:
+                                with ok_lock:
+                                    ok_count[0] += 1
+                        except Exception:
+                            pass  # failed requests don't count toward QPS
 
                 t0 = time.perf_counter()
                 ths = [threading.Thread(target=_worker, args=(t,)) for t in range(T)]
@@ -333,7 +349,12 @@ def main() -> None:
                     x.start()
                 for x in ths:
                     x.join()
-                http_search_qps = round(T * R / (time.perf_counter() - t0), 1)
+                elapsed = time.perf_counter() - t0
+                # only completed-OK requests count; report the failure count
+                # alongside so a degraded server can't fake throughput
+                http_search_qps = (round(ok_count[0] / elapsed, 1)
+                                   if ok_count[0] else None)
+                http_search_failed = T * R - ok_count[0]
             except Exception:
                 http_search_qps = None
     except Exception:
@@ -359,14 +380,21 @@ def main() -> None:
                                             axis=1, keepdims=True) + 1e-9)
                 return (g.astype(jnp.float32) * inv).astype(jnp.bfloat16)
 
+            # fill a preallocated buffer chunk by chunk with a DONATED
+            # update — a jnp.concatenate of all chunks would transiently
+            # hold 2x the 7.3 GiB corpus and can OOM a 16 GiB chip on top
+            # of the e2e engine's resident state
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _fill(buf, part, off):
+                return jax.lax.dynamic_update_slice(buf, part, (off, 0))
+
             keys10 = jax.random.split(jax.random.PRNGKey(0), -(-n10_pad // chunk))
-            parts, rem = [], n10_pad
+            x10 = jnp.zeros((n10_pad, d), jnp.bfloat16)
+            off = 0
             for key10 in keys10:
-                rows = min(chunk, rem)
-                parts.append(_gen_chunk(key10, rows))
-                rem -= rows
-            x10 = jnp.concatenate(parts)
-            del parts
+                rows = min(chunk, n10_pad - off)
+                x10 = _fill(x10, _gen_chunk(key10, rows), jnp.int32(off))
+                off += rows
             t10 = jnp.zeros((n10_pad,), jnp.int32)
 
             def _measure10(mode):
@@ -408,7 +436,8 @@ def main() -> None:
         "baseline_cpu_bruteforce_qps": round(cpu_qps, 1),
         "recall_at_10_vs_f32_exact": recall,
         "e2e_search_p50_ms": e2e_p50_ms,  # tokenize + encode + search + readback
-        "http_search_qps": http_search_qps,  # concurrent /search through the HTTP server
+        "http_search_qps": http_search_qps,  # concurrent OK /search through the HTTP server
+        "http_search_failed": http_search_failed,
         "qps_xla_batch8": round(qps_batch8, 1),  # small-batch (latency-mode) QPS
         "tpu_index_build_s": tpu_build_s,  # vs baseline_cpu_ann.build_s (graph build)
         "backend": backend,

@@ -12,7 +12,9 @@ reranker trains from scratch on the same docstring corpus —
   flatlines at chance, measured in the --no-biencoder-init ablation);
 - pairs: (summary query, body) positives; negatives are HARD: the trained
   bi-encoder's top-ranked non-target bodies for each query (the candidates a
-  reranker must actually discriminate at serving time), plus random bodies;
+  reranker must actually discriminate at serving time), plus random bodies —
+  all negatives drawn from the TRAIN split only, so the held-out distractor
+  pool is never seen in training;
 - loss: grouped softmax ranking over [positive, negatives...] logits
   (CrossEncoderModule — same head layout as ms-marco checkpoints);
 - eval: rerank the trained bi-encoder's top-20 candidates for held-out
@@ -147,8 +149,10 @@ def main() -> None:
     q_toks_all = [tok.tokenize_ids(d["query"])[:46] for d in docs]
 
     def pair_rows(qi: int, di: int, seq: int):
-        """[CLS] query [SEP] body-crop [SEP] with segment ids."""
-        q = q_toks_all[qi]
+        """[CLS] query [SEP] body-crop [SEP] with segment ids.  The query is
+        clamped so at least a few body tokens always fit (tiny --seq-len
+        values would otherwise produce rows longer than seq)."""
+        q = q_toks_all[qi][: max(1, seq - 8)]
         room = seq - len(q) - 3
         b = body_toks[di]
         if len(b) > room:
@@ -169,16 +173,21 @@ def main() -> None:
         return ids, mask, types
 
     if not args.eval_only:
-        print("[2/4] mining hard negatives (bi-encoder top non-target bodies) ...",
-              flush=True)
-        tpos = [id_pos[d["id"]] for d in train_docs]
+        print("[2/4] mining hard negatives (bi-encoder top non-target bodies, "
+              "train split only) ...", flush=True)
+        # negatives come exclusively from the TRAIN split: mining (or random
+        # sampling) over the full corpus would train the model against the
+        # very held-out bodies it is evaluated on, inflating the rerank lift
+        tpos = np.array([id_pos[d["id"]] for d in train_docs])
+        demb_train = demb[tpos]
         tq = bi.embed([d["query"] for d in train_docs])
         hard: list[np.ndarray] = []
         for i in range(0, len(train_docs), 512):
-            scores = tq[i:i + 512] @ demb.T
+            scores = tq[i:i + 512] @ demb_train.T
             top = np.argpartition(-scores, args.hard_k + 1, axis=1)[:, : args.hard_k + 1]
             for r, target in zip(top, tpos[i:i + 512]):
-                hard.append(r[r != target][: args.hard_k])
+                cand = tpos[r]
+                hard.append(cand[cand != target][: args.hard_k])
 
         print(f"[3/4] ranking training: {args.steps} steps x {args.batch} pairs "
               f"(groups of 1 pos + {args.neg_per_pos} negs) ...", flush=True)
@@ -245,9 +254,9 @@ def main() -> None:
                     if len(hard[i]) and rng.random() < 0.75:
                         ni = int(rng.choice(hard[i]))
                     else:
-                        ni = int(rng.integers(0, len(docs)))
-                        if ni == gq:
-                            ni = (ni + 1) % len(docs)
+                        ni = int(tpos[rng.integers(0, len(tpos))])
+                        if ni == gq:  # train-split-only random negatives
+                            ni = int(tpos[(rng.integers(0, len(tpos)))])
                     rows.append(pair_rows(gq, ni, args.seq_len))
             ids, mask, types = assemble_pairs(rows, args.seq_len)
             return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))

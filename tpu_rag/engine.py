@@ -221,7 +221,9 @@ class RagEngine:
                 return None  # window exceeds one encoder bucket
             fwd, fkey = enc.fused_forward()
             ids, mask = enc.tokenize_batch(texts, batch=enc._bucket(len(texts)))
-            kk = max(1, min(int(5 if k is None else k), 20))
+            from tpu_rag.retrieval.hybrid import clamp_k
+
+            kk = clamp_k(k)
             out = self.index.search_fused(
                 fwd, fkey, enc.params, ids, mask, len(texts), kk,
                 namespace=namespace or None, canonicality=canonicality or None)

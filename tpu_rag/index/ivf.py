@@ -67,9 +67,8 @@ _ivf_probe = jax.jit(_probe_impl, static_argnames=("nprobe", "k"))
 MERGE_GRANULE = 256
 
 
-@jax.jit
-def _merge_rows_device(vec_lists, scale_lists, ns_lists, canon_lists, row_lists,
-                       l_idx, s_idx, vals, scales, ns, canon, rows):
+def _merge_rows_impl(vec_lists, scale_lists, ns_lists, canon_lists, row_lists,
+                     l_idx, s_idx, vals, scales, ns, canon, rows):
     """Scatter one MERGE_GRANULE chunk of overflow rows into their (list,
     slot) positions.  Padding entries repeat the first row (same indices +
     same values -> idempotent)."""
@@ -79,6 +78,15 @@ def _merge_rows_device(vec_lists, scale_lists, ns_lists, canon_lists, row_lists,
     canon_lists = canon_lists.at[l_idx, s_idx].set(canon)
     row_lists = row_lists.at[l_idx, s_idx].set(rows)
     return vec_lists, scale_lists, ns_lists, canon_lists, row_lists
+
+
+# first chunk: the inputs are the PREVIOUS snapshot's arrays, which
+# in-flight searches may still hold — copy, don't donate.  Later chunks own
+# their (fresh) inputs, so donation makes the scatter in-place instead of
+# copying the full (nlist, cap, d) lists once per chunk.
+_merge_rows_device = jax.jit(_merge_rows_impl)
+_merge_rows_device_donated = jax.jit(_merge_rows_impl,
+                                     donate_argnums=(0, 1, 2, 3, 4))
 
 
 class IVFIndex(FlatIndex):
@@ -313,8 +321,9 @@ class IVFIndex(FlatIndex):
             if len(idx) < MERGE_GRANULE:  # idempotent repeat padding
                 idx = np.concatenate([idx, np.full(MERGE_GRANULE - len(idx), i)])
             ij = jnp.asarray(idx.astype(np.int32))
+            merge_fn = _merge_rows_device if i == 0 else _merge_rows_device_donated
             (snap["vec_lists"], snap["scale_lists"], snap["ns_lists"],
-             snap["canon_lists"], snap["row_lists"]) = _merge_rows_device(
+             snap["canon_lists"], snap["row_lists"]) = merge_fn(
                 snap["vec_lists"], snap["scale_lists"], snap["ns_lists"],
                 snap["canon_lists"], snap["row_lists"],
                 jnp.asarray(l_idx_np[idx]), jnp.asarray(s_idx_np[idx]),

@@ -150,9 +150,11 @@ class ShardedFlatIndex(FlatIndex):
         # int8 two-stage refine (same as FlatIndex): oversample on the scan,
         # re-score the handful exactly on host
         k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
-        # "auto" resolves per SHARD size — each device scans n/devices rows
+        # "auto" resolves per SHARD size: the corpus is sharded only over
+        # self.axis, so per-shard rows = n / mesh.shape[axis] (NOT the total
+        # device count — a data x model mesh shards rows over "data" only)
         mode = self.effective_search_mode(
-            snap["n"] // max(1, len(self._mesh().devices.flat)))
+            snap["n"] // max(1, self._mesh().shape[self.axis]))
         fn = self._search_fns.get((k_scan, mode))
         if fn is None:
             fn = make_sharded_search(self._mesh(), k=k_scan, use_pallas=self.use_pallas,

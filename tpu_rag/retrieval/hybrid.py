@@ -19,6 +19,13 @@ from typing import Any
 META_TITLE_KEYWORDS = ("curator", "schema", "prompt手冊", "prompt 指南", "系統說明", "資料庫說明")
 
 
+def clamp_k(k) -> int:
+    """The reference's k clamp: default 5, bounded to 1..20
+    (reference api/app.py:546).  Single source of truth for every
+    retrieval path (two-step, batched, fused)."""
+    return max(1, min(int(5 if k is None else k), 20))
+
+
 def result_hits(res, qi: int = 0) -> list[dict]:
     """Shape one query's SearchResult row like the reference's _query_chroma
     hits (score = distance, rank from 1)."""
@@ -38,7 +45,7 @@ def vector_hits(index, query_vec, k: int, namespace: str | None,
                 canonicality: str | None) -> list[dict]:
     """Search the vector index and shape hits like the reference's
     _query_chroma (score = distance, rank from 1)."""
-    k = max(1, min(int(5 if k is None else k), 20))
+    k = clamp_k(k)
     res = index.search(query_vec, k, namespace=namespace or None,
                        canonicality=canonicality or None)
     return result_hits(res, 0)
@@ -47,7 +54,7 @@ def vector_hits(index, query_vec, k: int, namespace: str | None,
 def vector_hits_batch(index, query_vecs, k: int, namespace: str | None,
                       canonicality: str | None) -> list[list[dict]]:
     """Batched variant of vector_hits: one index.search call for all queries."""
-    k = max(1, min(int(5 if k is None else k), 20))
+    k = clamp_k(k)
     res = index.search(query_vecs, k, namespace=namespace or None,
                        canonicality=canonicality or None)
     return [result_hits(res, qi) for qi in range(len(res.ids))]
