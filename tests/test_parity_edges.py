@@ -145,3 +145,43 @@ def test_slug_cjk_preserved():
     assert slug("月亮 Temple") == "月亮-temple"
     assert slug("") == "untitled"
     assert len(slug("x" * 200)) == 80
+
+
+def test_rerank_ensemble_mode_blends_scores():
+    """mode='ensemble' z-score-blends retriever similarity (negated
+    distance) with the cross-encoder instead of replacing the ordering;
+    mode='replace' keeps reference parity (CE score alone decides)."""
+    from tpu_rag.retrieval.rerank import rerank_hits
+
+    class CE:
+        def predict(self, pairs):
+            import numpy as np
+            # CE strongly prefers the SECOND hit
+            return np.array([0.0, 10.0, 1.0], np.float32)
+
+    # retriever strongly prefers hit a (distance 0.01 << others)
+    hits = [{"rank": 1, "id": "a", "score": 0.01, "text": "a"},
+            {"rank": 2, "id": "b", "score": 0.90, "text": "b"},
+            {"rank": 3, "id": "c", "score": 0.50, "text": "c"}]
+    replaced = rerank_hits(CE(), "q", [dict(h) for h in hits], mode="replace")
+    assert [h["id"] for h in replaced] == ["b", "c", "a"]  # CE order only
+
+    blended = rerank_hits(CE(), "q", [dict(h) for h in hits], mode="ensemble")
+    assert all("ensemble_score" in h and "rerank_score" in h for h in blended)
+    # both signals matter: 'b' (CE favorite) and 'a' (retriever favorite)
+    # outrank 'c', which neither signal favors
+    assert [h["id"] for h in blended][-1] == "c"
+    assert [h["rank"] for h in blended] == [1, 2, 3]
+
+
+def test_rerank_ensemble_single_hit_noop_order():
+    from tpu_rag.retrieval.rerank import rerank_hits
+
+    class CE:
+        def predict(self, pairs):
+            import numpy as np
+            return np.zeros((len(pairs),), np.float32)
+
+    out = rerank_hits(CE(), "q", [{"rank": 1, "id": "x", "score": 0.2,
+                                   "text": "x"}], mode="ensemble")
+    assert [h["id"] for h in out] == ["x"]

@@ -43,6 +43,9 @@ class Config:
     # --- models ---
     embedding_model: str = "sentence-transformers/all-MiniLM-L6-v2"
     rerank_model: str = "cross-encoder/ms-marco-MiniLM-L-6-v2"
+    rerank_mode: str = "replace"        # replace (reference parity) | ensemble
+                                        # (z-score blend of retriever + CE —
+                                        # measured better, docs/QUALITY.md)
     # Local weight/tokenizer paths; when absent the framework falls back to
     # deterministic seeded weights + the first-party hashing tokenizer.
     embedding_weights: str = ""         # dir with HF checkpoint or orbax ckpt
@@ -122,6 +125,7 @@ def config_from_env(dotenv: str | None = None) -> Config:
         recency_alpha=env_float("RECENCY_ALPHA", d.recency_alpha),
         embedding_model=env_str("EMBEDDING_MODEL", d.embedding_model),
         rerank_model=env_str("RERANK_MODEL", d.rerank_model),
+        rerank_mode=env_str("RERANK_MODE", d.rerank_mode),
         embedding_weights=env_str("EMBEDDING_WEIGHTS", d.embedding_weights),
         rerank_weights=env_str("RERANK_WEIGHTS", d.rerank_weights),
         tokenizer_path=env_str("TOKENIZER_PATH", d.tokenizer_path),

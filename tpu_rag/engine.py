@@ -354,7 +354,8 @@ class RagEngine:
         return (doc_hits + db_hits)[: max(k, 1)]
 
     def rerank(self, query: str, hits: list[dict]) -> list[dict]:
-        return rerank_hits(self.get_cross_encoder(), query, hits)
+        return rerank_hits(self.get_cross_encoder(), query, hits,
+                           mode=self.config.rerank_mode)
 
     def recency_mix(self, hits: list[dict]) -> list[dict]:
         return mix_with_recency(hits, alpha=self.config.recency_alpha,

@@ -3,6 +3,12 @@
 Parity with reference api/app.py:568-583: score [query, text] pairs, attach
 rerank_score, sort descending, rewrite ranks; any model failure returns the
 hits unchanged.
+
+mode="ensemble" blends the retriever ordering with the cross-encoder via
+per-list z-score interpolation instead of replacing it — measured better
+than either alone on labeled held-out retrieval (docs/QUALITY.md: recall@10
+0.664 vs 0.648 bi-encoder-only vs 0.630 CE-only).  "replace" stays the
+default for reference parity.
 """
 
 from __future__ import annotations
@@ -12,7 +18,16 @@ import logging
 logger = logging.getLogger(__name__)
 
 
-def rerank_hits(cross_encoder, query: str, hits: list[dict]) -> list[dict]:
+def _znorm(vals: list[float]) -> list[float]:
+    n = len(vals)
+    mu = sum(vals) / n
+    var = sum((v - mu) ** 2 for v in vals) / n
+    sd = max(var ** 0.5, 1e-6)
+    return [(v - mu) / sd for v in vals]
+
+
+def rerank_hits(cross_encoder, query: str, hits: list[dict],
+                mode: str = "replace") -> list[dict]:
     if not hits or cross_encoder is None:
         return hits
     try:
@@ -23,7 +38,17 @@ def rerank_hits(cross_encoder, query: str, hits: list[dict]) -> list[dict]:
         return hits
     for h, s in zip(hits, scores):
         h["rerank_score"] = float(s)
-    hits.sort(key=lambda x: x.get("rerank_score", 0.0), reverse=True)
+    if mode == "ensemble" and len(hits) > 1:
+        # retriever similarity: score is a distance (1 - cos) for vector
+        # hits, a bm25-ish rank score for FTS hits — negate distances so
+        # "bigger is better" before z-scoring
+        base = [-float(h.get("score", 0.0)) for h in hits]
+        blend = [b + c for b, c in zip(_znorm(base), _znorm(scores))]
+        for h, m in zip(hits, blend):
+            h["ensemble_score"] = float(m)
+        hits.sort(key=lambda x: x.get("ensemble_score", 0.0), reverse=True)
+    else:
+        hits.sort(key=lambda x: x.get("rerank_score", 0.0), reverse=True)
     for i, h in enumerate(hits, 1):
         h["rank"] = i
     return hits
