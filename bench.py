@@ -21,7 +21,7 @@ import subprocess
 import sys
 import time
 
-PREFLIGHT_SECONDS = int(os.getenv("BENCH_PALLAS_PREFLIGHT_S", "480"))
+PREFLIGHT_SECONDS = int(os.getenv("BENCH_PALLAS_PREFLIGHT_S", "900"))
 
 _PREFLIGHT_SNIPPET = r"""
 import sys
