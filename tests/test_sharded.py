@@ -118,3 +118,23 @@ def test_sharded_int8_refine():
     got = s8.search(q, 10)
     rec = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(truth.ids, got.ids)])
     assert rec >= 0.95
+
+
+def test_sharded_auto_mode_resolves_per_data_axis_shard():
+    """"auto" must divide by the DATA axis size, not the total device count:
+    on a data:2 x model:4 mesh each shard holds n/2 rows, and the routing
+    decision has to see that (regression for the multi-axis-mesh bug)."""
+    rng = np.random.default_rng(21)
+    n, d = 3072, 64
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    sb = ShardedFlatIndex(d, dtype="float32", use_pallas=False,
+                          mesh=mesh_from_spec("data:2,model:4"))
+    # threshold between n/2 (=1536, per-shard rows) and n/8 (=384, the buggy
+    # total-device division): correct routing picks bucketed, buggy exact
+    sb.auto_bucketed_min_rows = 1000
+    sb.add(ids, vecs)
+    res = sb.search(vecs[5], 3)
+    assert res.ids[0][0] == "v5"
+    modes = {key[1] for key in sb._search_fns}
+    assert modes == {"bucketed"}, modes
