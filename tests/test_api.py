@@ -432,3 +432,40 @@ def test_engine_warmup(env):
     assert dt >= 0
     # warmup populated the query-embed cache path without errors
     assert engine.query_vector("warmup query", 5, None, None) == []
+
+
+def test_search_fts_docs_flag(tmp_path):
+    """FTS_DOCS=1 merges keyword hits from the docs FTS table (which the
+    reference populates via the indexer but never searches).  Hits the
+    vector pass already surfaced are not duplicated; FTS-sourced hits are
+    tagged score_kind=bm25 so the ensemble reranker normalizes them as
+    their own score family."""
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs"),
+        kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+        db_path=str(tmp_path / "db/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs"),
+        index_dtype="float32",
+        use_pallas=False,
+        summarize_mode="off",
+        fts_docs=True,
+    )
+    engine = RagEngine(cfg, encoder=FakeEncoder(), cross_encoder=FakeCrossEncoder(),
+                       dispatcher=ScriptedDispatcher(ScriptedBackend()))
+    app = create_app(engine=engine)
+    client = TestClient(app)
+    # a doc whose keyword matches but whose hash-embedding won't be the
+    # vector top hit for the query term "glimmer"
+    client.post("/docs/save", json={"title": "A", "content": "glimmer stone archive"})
+    client.post("/docs/save", json={"title": "B", "content": "unrelated topic entirely"})
+    import time as _t
+    _t.sleep(0.3)  # background indexing
+    r = client.post("/search", json={"query": "glimmer", "k": 5})
+    assert r.status_code == 200
+    hits = r.json()["hits"]
+    assert any("glimmer" in h.get("text", "") for h in hits)
+    fts_hits = [h for h in hits if (h.get("metadata") or {}).get("source") == "docs_fts"]
+    for h in fts_hits:
+        assert h["score_kind"] == "bm25"
+    ids = [h["id"] for h in hits]
+    assert len(ids) == len(set(ids))  # no dupes between vector and docs-FTS

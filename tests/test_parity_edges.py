@@ -174,6 +174,31 @@ def test_rerank_ensemble_mode_blends_scores():
     assert [h["rank"] for h in blended] == [1, 2, 3]
 
 
+def test_rerank_ensemble_mixed_families_normalized_separately():
+    """Vector distances (~[0,2]) and FTS bm25 scores (negative, magnitude
+    ~0-10) must be z-normalized per source family: pooled z-scoring pins
+    FTS hits to the top of the blend regardless of cross-encoder signal
+    (ADVICE r2 medium).  With per-family norms, a CE that strongly
+    dispreferred the FTS hit must be able to demote it."""
+    from tpu_rag.retrieval.rerank import rerank_hits
+
+    class CE:
+        def predict(self, pairs):
+            import numpy as np
+            # CE: vector hits fine, FTS hit (last) is junk
+            return np.array([5.0, 4.0, 3.0, -5.0], np.float32)
+
+    hits = [{"rank": 1, "id": "a", "score": 0.10, "text": "a"},
+            {"rank": 2, "id": "b", "score": 0.50, "text": "b"},
+            {"rank": 3, "id": "c", "score": 0.90, "text": "c"},
+            # FTS hit: bm25 -8.0; negated (+8.0) it sits far above the
+            # negated distances, so a pooled z-norm would pin it to rank 1
+            {"rank": 0, "id": "db:manual:7", "score": -8.0, "text": "junk"}]
+    out = rerank_hits(CE(), "q", [dict(h) for h in hits], mode="ensemble")
+    assert [h["id"] for h in out][-1] == "db:manual:7"
+    assert [h["id"] for h in out][0] == "a"  # both signals favor 'a'
+
+
 def test_rerank_ensemble_single_hit_noop_order():
     from tpu_rag.retrieval.rerank import rerank_hits
 

@@ -20,7 +20,7 @@ from datetime import datetime, timezone
 from pathlib import Path
 
 from tpu_rag.api.asgi import App, HTTPException, Request
-from tpu_rag.api.models import SaveDocItem, SearchRequest
+from tpu_rag.api.models import KbUpsertItem, SaveDocItem, SearchRequest
 from tpu_rag.engine import RagEngine
 from tpu_rag.ingest.schema import content_hash, slug
 from tpu_rag.retrieval.hybrid import filter_meta_hits, highlight
@@ -140,10 +140,17 @@ def register(app: App, engine: RagEngine) -> None:
     def kb_upsert(body: dict):
         guard_writes()
         body = body or {}
-        for f in ("source", "ref_id", "title", "content"):
+        # KbUpsertItem is the schema of record; keep the reference's 400 +
+        # "missing field: X" contract (the default body binding would 422)
+        for f in KbUpsertItem.model_fields:
             if f not in body:
                 raise HTTPException(400, f"missing field: {f}")
-        engine.db.upsert_kb_item(body["source"], body["ref_id"], body["title"], body["content"])
+        try:
+            item = KbUpsertItem.model_validate(
+                {f: body[f] for f in KbUpsertItem.model_fields})
+        except Exception as e:
+            raise HTTPException(400, f"invalid kb item: {e}")
+        engine.db.upsert_kb_item(item.source, item.ref_id, item.title, item.content)
         return {"ok": True}
 
     @app.post("/kb/search")
@@ -173,6 +180,22 @@ def register(app: App, engine: RagEngine) -> None:
             for h in db_hits:
                 h["metadata"] = {**h.get("metadata", {}), "title": h.get("title", ""),
                                  "source": "db"}
+                h["score_kind"] = "bm25"
+            if cfg.fts_docs:
+                # extension (FTS_DOCS=1): also search the docs FTS table the
+                # indexer populates — the reference writes it
+                # (DocIndexer.fts_upsert) but never reads it, which looks
+                # unintended; off by default for ranking parity
+                with timings.stage("fts"):
+                    doc_fts = engine.indexer.fts_search(
+                        query, limit=max(1, (body.k or 6) // 2))
+                seen = {h.get("id") for h in hits}
+                for h in doc_fts:
+                    if h.get("id") in seen:
+                        continue  # vector retrieval already surfaced it
+                    h["score_kind"] = "bm25"
+                    h["metadata"] = {**h.get("metadata", {}), "source": "docs_fts"}
+                    db_hits.append(h)
             do_filter = cfg.filter_meta_default and not (
                 (body.canonicality or "").strip().lower() == "meta")
             hits = (filter_meta_hits(hits, do_filter, cfg.meta_tags)

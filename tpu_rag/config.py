@@ -75,6 +75,13 @@ class Config:
     mesh_shape: str = ""                # e.g. "data:4" or "data:4,model:2"; "" = all devices on data
     use_pallas: bool = True             # False = pure-XLA fallback path
 
+    # --- retrieval extensions ---
+    fts_docs: bool = False              # also merge keyword hits from the docs
+                                        # FTS table the indexer populates.  The
+                                        # reference writes that table but never
+                                        # searches it (likely unintended); off
+                                        # by default for ranking parity.
+
     # --- compose ---
     summarize_mode: str = "llm"         # "llm" (reference parity) | "off" (skip per-chunk LLM calls)
 
@@ -146,6 +153,7 @@ def config_from_env(dotenv: str | None = None) -> Config:
         embed_seq_len=env_int("EMBED_SEQ_LEN", d.embed_seq_len),
         mesh_shape=env_str("MESH_SHAPE", d.mesh_shape),
         use_pallas=env_bool("USE_PALLAS", d.use_pallas),
+        fts_docs=env_bool("FTS_DOCS", d.fts_docs),
         summarize_mode=env_str("SUMMARIZE_MODE", d.summarize_mode),
         host=env_str("HOST", d.host),
         port=env_int("PORT", d.port),

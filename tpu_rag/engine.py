@@ -42,6 +42,7 @@ class RagEngine:
         self.config.ensure_dirs()
 
         self._encoder = encoder
+        self._fused_warned: set[str] = set()
         self._cross_encoder = cross_encoder
         self._ce_lock = threading.Lock()
         self._ce_failed = False
@@ -237,7 +238,12 @@ class RagEngine:
 
             return [result_hits(res, qi) for qi in range(len(texts))]
         except Exception as e:
-            logger.warning("fused embed+search failed (%s); falling back", e)
+            # log the first failure loudly, then once per distinct message —
+            # a persistent failure here would otherwise warn on EVERY request
+            msg = str(e)
+            if msg not in self._fused_warned:
+                self._fused_warned.add(msg)
+                logger.warning("fused embed+search failed (%s); falling back", e)
             return None
 
     def _fused_vector_hits(self, query: str, k: int, namespace: str | None,
@@ -258,10 +264,15 @@ class RagEngine:
             key = hashlib.md5(query.encode("utf-8")).hexdigest()
             qv = self._qvec_cached(key)
             if qv is None:
-                # cold query: one fused embed+search dispatch when possible
+                # cold query: one fused embed+search dispatch when possible.
+                # Embed happens inside the fused executable, so emit a
+                # zero-duration "embed" stage to keep the embed/search split
+                # contract for timings consumers (the cost is in
+                # vector_search by construction — it is one dispatch).
                 with t.stage("vector_search"):
                     hits = self._fused_vector_hits(query, k, namespace, canonicality)
                     if hits is not None:
+                        t.stages.setdefault("embed", 0.0)
                         return hits
                 with t.stage("embed"):
                     qv = self.embed([query])

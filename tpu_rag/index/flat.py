@@ -484,11 +484,10 @@ class FlatIndex:
 
         snap = self.device_snapshot()
         qj = jnp.asarray(queries)
-        # int8 two-stage refine: oversample candidates on the int8 scan,
-        # re-score that handful exactly below.  (Not applied to bucketed
-        # bf16: its bucket-max scores are already exact, so re-scoring only
-        # churns near-ties — measured as recall noise on clustered data
-        # where the rank-10/11 score gap is ~3e-4.)
+        # two-stage refine: oversample candidates on the quantized scan and
+        # re-score that handful exactly below.  int8 uses refine_factor;
+        # bf16 (exact AND bucketed modes) uses a fixed 2x oversample — see
+        # refine_k_scan and the recall gates in tests/test_incremental.py.
         k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
         # cache the filter pair as a device array: a fresh host->device
         # transfer per search costs a full RTT on tunneled backends
@@ -577,9 +576,13 @@ class FlatIndex:
                         want_canon=w[0, 1])
                 # pack (scores | bitcast ids | embeddings) into ONE f32 array:
                 # a single host readback instead of three — each separate
-                # np.asarray sync costs a full RTT on tunneled backends
+                # np.asarray sync costs a full RTT on tunneled backends.
+                # Index values are bounded by n_pad, so the int32 cast is
+                # lossless even under jax_enable_x64 (where topk yields int64
+                # and a raw bitcast would grow a trailing axis).
                 return jnp.concatenate(
-                    [sc, jax.lax.bitcast_convert_type(ii, jnp.float32), q],
+                    [sc, jax.lax.bitcast_convert_type(ii.astype(jnp.int32),
+                                                      jnp.float32), q],
                     axis=1)
 
             fn = jax.jit(impl)

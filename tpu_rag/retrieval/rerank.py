@@ -39,11 +39,25 @@ def rerank_hits(cross_encoder, query: str, hits: list[dict],
     for h, s in zip(hits, scores):
         h["rerank_score"] = float(s)
     if mode == "ensemble" and len(hits) > 1:
-        # retriever similarity: score is a distance (1 - cos) for vector
-        # hits, a bm25-ish rank score for FTS hits — negate distances so
-        # "bigger is better" before z-scoring
-        base = [-float(h.get("score", 0.0)) for h in hits]
-        blend = [b + c for b, c in zip(_znorm(base), _znorm(scores))]
+        # Retriever similarity comes from two distributions: vector hits
+        # carry a distance (1 - cos, ~[0, 2]) while FTS hits (id prefix
+        # "db:") carry FTS5 bm25 (unbounded negative, magnitudes ~0-10).
+        # Z-normalizing them together pins whichever family has the larger
+        # magnitude to the top regardless of cross-encoder signal, so
+        # normalize per family; a singleton family centers to 0 (pure-CE).
+        base = [0.0] * len(hits)
+        fam: dict[str, list[int]] = {}
+        for i, h in enumerate(hits):
+            kind = h.get("score_kind") or (
+                "bm25" if str(h.get("id", "")).startswith("db:") else "vector")
+            fam.setdefault(kind, []).append(i)
+        for idxs in fam.values():
+            # negate so "bigger is better" within each family (distance and
+            # bm25 are both ascending-better)
+            z = _znorm([-float(hits[i].get("score", 0.0)) for i in idxs])
+            for i, v in zip(idxs, z):
+                base[i] = v
+        blend = [b + c for b, c in zip(base, _znorm(scores))]
         for h, m in zip(hits, blend):
             h["ensemble_score"] = float(m)
         hits.sort(key=lambda x: x.get("ensemble_score", 0.0), reverse=True)
