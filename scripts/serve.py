@@ -42,7 +42,8 @@ def main() -> None:
         app.state["engine"].warmup()
     print(f"tpu_rag serving on http://{cfg.host}:{cfg.port} "
           f"(collection={cfg.collection_name}, index={cfg.index_kind}/{cfg.index_dtype})")
-    run_app(app, cfg.host, cfg.port)
+    run_app(app, cfg.host, cfg.port,
+            executor_workers=cfg.http_executor_workers)
 
 
 if __name__ == "__main__":

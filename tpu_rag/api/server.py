@@ -26,10 +26,17 @@ REASONS = {
 
 
 class HTTPServer:
-    def __init__(self, app, host: str = "0.0.0.0", port: int = 8000) -> None:
+    def __init__(self, app, host: str = "0.0.0.0", port: int = 8000,
+                 executor_workers: int = 128) -> None:
         self.app = app
         self.host = host
         self.port = port
+        # handler thread pool size.  asyncio's default executor is
+        # min(32, cpus + 4) threads — on a 1-vCPU host that caps concurrent
+        # in-flight requests (and the microbatch window fill) at ~5.
+        # Handler threads spend their time blocked on the device RTT, so a
+        # large pool costs only stack memory.
+        self.executor_workers = max(4, int(executor_workers))
         self._server: asyncio.AbstractServer | None = None
 
     async def _handle_connection(self, reader: asyncio.StreamReader,
@@ -158,6 +165,11 @@ class HTTPServer:
         return hmap.get("connection", "").lower() != "close"
 
     async def serve(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        asyncio.get_running_loop().set_default_executor(
+            ThreadPoolExecutor(max_workers=self.executor_workers,
+                               thread_name_prefix="http-handler"))
         self._server = await asyncio.start_server(
             self._handle_connection, self.host, self.port,
             limit=MAX_HEADER_BYTES,
@@ -198,5 +210,6 @@ class HTTPServer:
             pass
 
 
-def run_app(app, host: str = "0.0.0.0", port: int = 8000) -> None:
-    HTTPServer(app, host, port).run()
+def run_app(app, host: str = "0.0.0.0", port: int = 8000,
+            executor_workers: int = 128) -> None:
+    HTTPServer(app, host, port, executor_workers=executor_workers).run()

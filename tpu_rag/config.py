@@ -92,6 +92,15 @@ class Config:
     warmup: bool = False                # compile encoder+search at startup
     microbatch: bool = True             # aggregate concurrent /search embeds+scans
     microbatch_max: int = 64            # max queries fused into one device pass
+    microbatch_workers: int = 2         # in-flight windows: worker B tokenizes/
+                                        # dispatches while A waits on its readback
+    http_executor_workers: int = 128    # handler thread pool.  The asyncio
+                                        # default (min(32, cpus+4)) caps
+                                        # concurrent in-flight requests — and
+                                        # with them the microbatch window fill
+                                        # — at ~5 on a 1-vCPU host.  Handler
+                                        # threads mostly BLOCK on the device
+                                        # RTT, so a large pool is cheap.
 
     @property
     def auth_enabled(self) -> bool:
@@ -161,4 +170,7 @@ def config_from_env(dotenv: str | None = None) -> Config:
         warmup=env_bool("WARMUP", d.warmup),
         microbatch=env_bool("MICROBATCH", d.microbatch),
         microbatch_max=env_int("MICROBATCH_MAX", d.microbatch_max),
+        microbatch_workers=env_int("MICROBATCH_WORKERS", d.microbatch_workers),
+        http_executor_workers=env_int("HTTP_EXECUTOR_WORKERS",
+                                      d.http_executor_workers),
     )

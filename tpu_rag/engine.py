@@ -68,7 +68,8 @@ class RagEngine:
             from tpu_rag.utils.microbatch import MicroBatcher
             self._microbatcher = MicroBatcher(
                 self._run_vector_batch, max_batch=self.config.microbatch_max,
-                name="vector_microbatch")
+                name="vector_microbatch",
+                workers=self.config.microbatch_workers)
         self.indexer = DocIndexer(
             self.config.kb_db_path,
             embed_fn=self.embed,
@@ -217,17 +218,25 @@ class RagEngine:
                 or not hasattr(self.encoder, "fused_forward")):
             return None
         try:
+            from tpu_rag.utils.metrics import GLOBAL_METRICS
+
             enc = self.encoder
             if len(texts) > enc.batch:
                 return None  # window exceeds one encoder bucket
             fwd, fkey = enc.fused_forward()
-            ids, mask = enc.tokenize_batch(texts, batch=enc._bucket(len(texts)))
+            # stage breakdown for the serving bench: host tokenize vs the
+            # single fused device call (encode+scan+packed readback — one
+            # dispatch, so encode/scan can't be split without a second sync)
+            with GLOBAL_METRICS.timed("search_stage_tokenize"):
+                ids, mask = enc.tokenize_batch(texts, batch=enc._bucket(len(texts)))
             from tpu_rag.retrieval.hybrid import clamp_k
 
             kk = clamp_k(k)
-            out = self.index.search_fused(
-                fwd, fkey, enc.params, ids, mask, len(texts), kk,
-                namespace=namespace or None, canonicality=canonicality or None)
+            with GLOBAL_METRICS.timed("search_stage_device"):
+                out = self.index.search_fused(
+                    fwd, fkey, enc.params, ids, mask, len(texts), kk,
+                    namespace=namespace or None,
+                    canonicality=canonicality or None)
             if out is None:
                 return None
             res, qv = out

@@ -403,9 +403,15 @@ class FlatIndex:
                 if len(chunk) < KILL_GRANULE:  # pad with a repeat (idempotent set)
                     chunk = np.concatenate([chunk, np.full(KILL_GRANULE - len(chunk),
                                                            chunk[0], np.int32)])
-                snap[target + "ns"], snap[target + "canon"] = _kill_tags_device(
-                    snap[target + "ns"], snap[target + "canon"], jnp.asarray(chunk))
+                snap[target + "ns"], snap[target + "canon"] = self._kill_tags_target(
+                    snap, target, jnp.asarray(chunk))
             self.snapshot_stats["incremental_kills"] += len(rows)
+
+    def _kill_tags_target(self, snap: dict[str, Any], target: str, chunk):
+        """Tag-kill one KILL_GRANULE chunk of device rows on the `target`
+        arrays ("" = base snapshot, "a_" = append block).  Sharded subclasses
+        override the base target with a shard-local scatter."""
+        return _kill_tags_device(snap[target + "ns"], snap[target + "canon"], chunk)
 
     def _flush_appends(self, snap: dict[str, Any]) -> None:
         """Stream pending host rows into the device append block in fixed
@@ -629,6 +635,16 @@ class FlatIndex:
         order = np.argsort(-all_sc, kind="stable", axis=1)[:, :k_scan]
         return (np.take_along_axis(all_sc, order, axis=1),
                 np.take_along_axis(all_hr, order, axis=1))
+
+    def _wants_2d(self, want_ns: int, want_canon: int):
+        """Cached (1, 2)-shaped device filter pair — the shape the append
+        scan and the fused/XLA paths take (sharded kernels use a flat (2,),
+        cached under a prefixed key)."""
+        wants = self._wants_cache.get((want_ns, want_canon))
+        if wants is None:
+            wants = jnp.array([[want_ns, want_canon]], jnp.int32)
+            self._wants_cache[(want_ns, want_canon)] = wants
+        return wants
 
     @staticmethod
     def _device_to_host_rows(sc: np.ndarray, idx: np.ndarray,

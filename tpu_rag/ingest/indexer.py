@@ -21,11 +21,13 @@ from __future__ import annotations
 
 import json
 import sqlite3
+import threading
 import time
 from pathlib import Path
 from typing import Callable
 
 from tpu_rag.ingest.schema import content_hash, slug
+from tpu_rag.memory.db import _PooledConn
 
 
 class DocIndexer:
@@ -41,10 +43,18 @@ class DocIndexer:
         self.embed_fn = embed_fn
         self.index = index
         self.persist_fn = persist_fn
+        self._tls = threading.local()
         Path(kb_db_path).parent.mkdir(parents=True, exist_ok=True)
 
     def _db(self) -> sqlite3.Connection:
-        conn = sqlite3.connect(self.kb_db_path, timeout=30)
+        # thread-local pooled handle (see memory/db.py _PooledConn): the
+        # schema DDL and PRAGMAs run once per thread, not once per call
+        conn = getattr(self._tls, "conn", None)
+        if conn is not None:
+            if conn.in_transaction:
+                conn.rollback()
+            return conn
+        conn = sqlite3.connect(self.kb_db_path, timeout=30, factory=_PooledConn)
         conn.execute("PRAGMA busy_timeout=30000")
         conn.execute(
             "CREATE VIRTUAL TABLE IF NOT EXISTS docs USING fts5(id, title, text, metadata)"
@@ -57,6 +67,7 @@ class DocIndexer:
             "CREATE TABLE IF NOT EXISTS docs_registry("
             "source_key TEXT PRIMARY KEY, doc_id TEXT, updated_ts INTEGER)"
         )
+        self._tls.conn = conn
         return conn
 
     # ------------------------------------------------------------- FTS

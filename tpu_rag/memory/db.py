@@ -15,20 +15,39 @@ content-synced via triggers) / idx_messages_thread.  Differences by design:
 from __future__ import annotations
 
 import sqlite3
+import threading
 import time
 from pathlib import Path
+
+
+class _PooledConn(sqlite3.Connection):
+    """Thread-local pooled connection: close() is a no-op so the existing
+    open/use/close call pattern keeps working while the underlying handle
+    (and its PRAGMA state) is reused across calls on the same thread —
+    connection setup was measurable on the /search hot path."""
+
+    def close(self) -> None:  # reused; OS closes it at process exit
+        pass
 
 
 class ConversationDB:
     def __init__(self, path: str) -> None:
         self.path = path
+        self._tls = threading.local()
         Path(path).parent.mkdir(parents=True, exist_ok=True)
         self._init_db()
 
     def _db(self) -> sqlite3.Connection:
-        conn = sqlite3.connect(self.path, timeout=30)
-        conn.execute("PRAGMA journal_mode=WAL")
-        conn.execute("PRAGMA busy_timeout=30000")
+        conn = getattr(self._tls, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(self.path, timeout=30, factory=_PooledConn)
+            conn.execute("PRAGMA journal_mode=WAL")
+            conn.execute("PRAGMA busy_timeout=30000")
+            self._tls.conn = conn
+        elif conn.in_transaction:
+            # a previous caller errored before commit; don't leak its
+            # half-transaction into this call
+            conn.rollback()
         return conn
 
     def _init_db(self) -> None:

@@ -23,11 +23,44 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_rag.index.flat import (FlatIndex, SearchResult, _normalize,
-                                _quantize_int8_np, refine_k_scan)
+                                refine_k_scan)
 from tpu_rag.index.ivf import IVFIndex, _probe_impl
 from tpu_rag.ops.kmeans import kmeans
 from tpu_rag.ops.quant import quantize_int8_rows
 from tpu_rag.ops.topk import PAD_TAG, fused_matmul_topk, topk_xla_reference
+
+
+_KILL_NOOP = 2**31 - 1  # > any real tag id; min-combine makes it a no-op
+
+
+def make_sharded_kill(mesh: Mesh, axis: str = "data"):
+    """Jitted SPMD tag-kill: flip tags to PAD_TAG at *global flat positions*
+    on arrays sharded over `axis` on dim 0.  Each device scatters only the
+    positions that fall inside its local block, so transfer is O(killed
+    rows) and the arrays never leave their shards (a plain jitted scatter on
+    a sharded operand would let GSPMD choose a layout and possibly gather).
+
+    Duplicate positions (the caller pads chunks with repeats) are safe: the
+    scatter combines with `min`, and PAD_TAG (INT32_MIN) < every tag while
+    _KILL_NOOP (INT32_MAX) > every tag.
+    """
+
+    def local(ns, canon, idx):
+        shape = ns.shape
+        nsf, cf = ns.reshape(-1), canon.reshape(-1)
+        m = nsf.shape[0]
+        li = idx - jax.lax.axis_index(axis) * m
+        valid = (li >= 0) & (li < m)
+        safe = jnp.clip(li, 0, m - 1)
+        upd = jnp.where(valid, jnp.int32(PAD_TAG), jnp.int32(_KILL_NOOP))
+        return (nsf.at[safe].min(upd).reshape(shape),
+                cf.at[safe].min(upd).reshape(shape))
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False))
 
 
 def make_sharded_search(mesh: Mesh, *, k: int, use_pallas: bool, axis: str = "data",
@@ -83,10 +116,14 @@ class ShardedFlatIndex(FlatIndex):
         self.mesh = mesh
         self.axis = axis
         self._search_fns: dict[int, Any] = {}
-        # incremental append blocks are a single-device mechanism; sharded
-        # snapshots re-distribute on mutation (per-shard append blocks land
-        # with ShardedIVFIndex-style reshard support)
-        self.incremental = False
+        # Incremental mutation (parity with hnswlib's in-place insert,
+        # reference api/app.py:209-225, at sharded scale): adds stream into
+        # the FlatIndex device append block (unsharded — it is <= 4096 rows,
+        # scanned exactly and merged on host), deletes flip tags in place on
+        # the SHARDED base arrays via make_sharded_kill.  A /docs/save
+        # against a sharded corpus therefore transfers O(doc), not O(corpus).
+        self.incremental = True
+        self._sharded_kill = None
 
     def _mesh(self) -> Mesh:
         if self.mesh is None:
@@ -122,7 +159,18 @@ class ShardedFlatIndex(FlatIndex):
             snap["scales"] = jax.device_put(jnp.ones((n_pad,), jnp.float32), sharding)
         snap["ns"] = jax.device_put(jnp.asarray(ns), sharding)
         snap["canon"] = jax.device_put(jnp.asarray(canon), sharding)
+        if self.incremental:
+            self._alloc_append_block(snap)
         return snap
+
+    def _kill_tags_target(self, snap: dict[str, Any], target: str, chunk):
+        """Base-snapshot kills scatter shard-locally (the base tag arrays are
+        sharded); append-block kills use the inherited unsharded path."""
+        if target:
+            return super()._kill_tags_target(snap, target, chunk)
+        if self._sharded_kill is None:
+            self._sharded_kill = make_sharded_kill(self._mesh(), self.axis)
+        return self._sharded_kill(snap["ns"], snap["canon"], chunk)
 
     def search(
         self,
@@ -172,6 +220,10 @@ class ShardedFlatIndex(FlatIndex):
         # padding rows sit at the end of the padded array, so a global padded
         # index < n equals the live-row position directly
         hrows = self._device_to_host_rows(sc, gid, snap["rows"], snap["n"])
+        if snap.get("a_fill", 0) > 0:
+            sc, hrows = self._merge_append_block(
+                jnp.asarray(queries), sc, hrows, snap, k_scan,
+                self._wants_2d(want_ns, want_canon))
         if k_scan > k:
             sc, hrows = self._refine_exact(queries, sc, hrows, k)
         return self._to_result(sc, hrows)
@@ -249,14 +301,25 @@ class ShardedIVFIndex(IVFIndex):
     kind = "sharded_ivf"
 
     def __init__(self, dim: int, *, mesh: Mesh | None = None, axis: str = "data",
-                 kmeans_sample: int = 262_144, **kw) -> None:
+                 kmeans_sample: int = 262_144, assign_chunk: int = 65_536,
+                 **kw) -> None:
         super().__init__(dim, **kw)
         self.mesh = mesh
         self.axis = axis
         self.kmeans_sample = kmeans_sample
-        # sharded snapshots re-distribute on mutation (incremental per-shard
-        # append blocks are future work; flat/IVF single-device have them)
-        self.incremental = False
+        # rows per host->device slab during centroid assignment: bounds the
+        # build's host temporaries at assign_chunk * dim * 4 bytes
+        self.assign_chunk = assign_chunk
+        # Incremental mutation: adds stream into the (unsharded, <= 4096 row)
+        # FlatIndex append block and merge on host; deletes tag-kill in place
+        # inside the sharded lists/overflow via make_sharded_kill using the
+        # host slot maps built at compaction.  One /docs/save transfers
+        # O(doc); a full rebuild happens only when the append block fills or
+        # tombstones pass max_dead_fraction.
+        self.incremental = True
+        self._sharded_kill = None
+        self._s_slot_of = np.zeros((0,), np.int64)  # host row -> s*nlist*cap+li*cap+si
+        self._s_ov_of = np.zeros((0,), np.int64)    # host row -> s*ov_cap+pos
         self._sivf_fns: dict[tuple, Any] = {}
 
     def _mesh(self) -> Mesh:
@@ -266,113 +329,208 @@ class ShardedIVFIndex(IVFIndex):
         return self.mesh
 
     def _compact(self) -> dict[str, Any]:
+        """Device-side sharded build: each shard's vectors cross host->device
+        exactly ONCE (f32, O(n/d_ax) at a time); grouping into padded lists
+        (ops/ivf_build.group_lists), final-dtype cast/quantization, and the
+        overflow gather all run on device.  Host temporaries stay O(n/d_ax)
+        — the previous build materialized the whole padded (d_ax, nlist,
+        cap, dim) f32 corpus in host RAM (hundreds of GB at 100M rows)."""
         mesh = self._mesh()
         d_ax = mesh.shape[self.axis]
         live = np.flatnonzero(self._alive)
         n = len(live)
+        self._sivf_fns.clear()
         snap: dict[str, Any] = {"rows": live, "n": n, "nlist": 0}
+        self._s_slot_of = np.full(len(self._ids), -1, np.int64)
+        self._s_ov_of = np.full(len(self._ids), -1, np.int64)
         if n == 0:
+            if self.incremental:
+                self._alloc_append_block(snap)
             return snap
 
         # centroids: train on a subsample (device k-means), reuse when valid
         reuse = (self._cached_centroids is not None
                  and self._cached_centroids.shape[1] == self.dim
                  and n <= 2 * max(1, self._centroids_trained_n))
-        xs = self._vectors[live]
         if not reuse:
             rng = np.random.default_rng(self.seed)
-            sub = xs if n <= self.kmeans_sample else xs[
-                rng.choice(n, self.kmeans_sample, replace=False)]
-            nlist = self._auto_nlist(n)
-            centroids, _ = kmeans(jnp.asarray(sub), nlist,
+            pick = (np.arange(n) if n <= self.kmeans_sample
+                    else rng.choice(n, self.kmeans_sample, replace=False))
+            sub = self._vectors[live[pick]]        # O(sample) host copy
+            nlist0 = self._auto_nlist(n)
+            centroids, _ = kmeans(jnp.asarray(sub), nlist0,
                                   iters=self.kmeans_iters, seed=self.seed)
             self._cached_centroids = np.asarray(centroids)
             self._centroids_trained_n = n
         centroids = np.asarray(self._cached_centroids, np.float32)
         nlist = centroids.shape[0]
 
-        # assign every row to its nearest centroid (host, chunked matmul)
+        # assign every row to its nearest centroid ON DEVICE in chunks: the
+        # (chunk, nlist) score matrix lives in HBM, the host only ever holds
+        # one chunk of vectors plus the int32 assignments
+        from tpu_rag.ops.kmeans import assign_clusters
+
         assign = np.empty(n, np.int32)
-        for i in range(0, n, 65536):
-            assign[i:i + 65536] = np.argmax(xs[i:i + 65536] @ centroids.T, axis=1)
+        cj = jnp.asarray(centroids)
+        ch = self.assign_chunk
+        for i in range(0, n, ch):
+            rows_c = live[i:i + ch]
+            assign[i:i + ch] = np.asarray(
+                assign_clusters(jnp.asarray(self._vectors[rows_c]), cj))
 
         # contiguous row shards; uniform (cap, ov_cap) across shards (SPMD)
         bounds = np.linspace(0, n, d_ax + 1).astype(np.int64)
         shard_slices = [slice(bounds[i], bounds[i + 1]) for i in range(d_ax)]
-        per_shard_n = max(int(bounds[1:].max(initial=0) - 0), 1)
         mean_count = max(1.0, (n / d_ax) / nlist)
         cap = int(max(8, self.list_cap_factor * mean_count))
         cap = max(8, -(-cap // 8) * 8)
+        spill = [int(np.maximum(np.bincount(assign[sl], minlength=nlist) - cap,
+                                0).sum()) for sl in shard_slices]
+        max_spill = max(spill) if spill else 0
+        ov_cap = max(8, -(-max_spill // 8) * 8)
+        have_ov = max_spill > 0
 
-        vec = np.zeros((d_ax, nlist, cap, self.dim), np.float32)
-        ns_l = np.full((d_ax, nlist, cap), PAD_TAG, np.int32)
-        canon_l = np.full((d_ax, nlist, cap), PAD_TAG, np.int32)
-        rows_l = np.full((d_ax, nlist, cap), -1, np.int32)
-        spills = []
+        # the devices holding shard s: its row along `axis` in the mesh grid
+        # (replicated over every other mesh axis)
+        axis_pos = list(mesh.axis_names).index(self.axis)
+        dev_grid = np.moveaxis(mesh.devices, axis_pos, 0).reshape(d_ax, -1)
+
+        parts: dict[str, list] = {key: [] for key in (
+            "vec_lists", "scale_lists", "ns_lists", "canon_lists", "row_lists",
+            "ov_vectors", "ov_scales", "ov_ns", "ov_canon", "ov_rows")}
         for s, sl in enumerate(shard_slices):
-            a = assign[sl]
-            order = np.argsort(a, kind="stable")
-            sorted_a = a[order]
-            starts = np.searchsorted(sorted_a, np.arange(nlist))
-            slots = np.arange(len(a)) - starts[sorted_a]
-            fits = slots < cap
-            li, si = sorted_a[fits], slots[fits]
-            local_rows = live[sl][order]
-            vec[s, li, si] = xs[sl][order][fits]
-            ns_l[s, li, si] = self._ns[local_rows[fits]]
-            canon_l[s, li, si] = self._canon[local_rows[fits]]
-            rows_l[s, li, si] = local_rows[fits]
-            spills.append(local_rows[~fits])
+            blocks = self._build_shard(live[sl], assign[sl], nlist, cap, ov_cap, s)
+            for key, arr in blocks.items():
+                for dev in dev_grid[s]:
+                    parts[key].append(jax.device_put(arr, dev))
 
-        ov_cap = max(8, -(-max((len(sp) for sp in spills), default=0) // 8) * 8)
-        ov_v = np.zeros((d_ax, ov_cap, self.dim), np.float32)
-        ov_s = np.ones((d_ax, ov_cap), np.float32)
-        ov_n = np.full((d_ax, ov_cap), PAD_TAG, np.int32)
-        ov_c = np.full((d_ax, ov_cap), PAD_TAG, np.int32)
-        ov_r = np.full((d_ax, ov_cap), -1, np.int32)
-        have_ov = any(len(sp) for sp in spills)
-        for s, sp in enumerate(spills):
-            if not len(sp):
-                continue
-            ov_v[s, :len(sp)] = self._vectors[sp]
-            ov_n[s, :len(sp)] = self._ns[sp]
-            ov_c[s, :len(sp)] = self._canon[sp]
-            ov_r[s, :len(sp)] = sp
+        def asm(key: str, shape: tuple):
+            spec = P(self.axis, *([None] * (len(shape) - 1)))
+            return jax.make_array_from_single_device_arrays(
+                shape, NamedSharding(mesh, spec), parts[key])
 
-        shard4 = NamedSharding(mesh, P(self.axis, None, None, None))
-        shard3 = NamedSharding(mesh, P(self.axis, None, None))
-        shard2 = NamedSharding(mesh, P(self.axis, None))
-        if self.dtype == "int8":
-            flat = vec.reshape(-1, self.dim)
-            vals, scales = _quantize_int8_np(flat)
-            scales[~(np.abs(flat).max(axis=1) > 0)] = 0.0
-            snap["vec_lists"] = jax.device_put(
-                vals.reshape(d_ax, nlist, cap, self.dim), shard4)
-            snap["scale_lists"] = jax.device_put(
-                scales.reshape(d_ax, nlist, cap).astype(np.float32), shard3)
-            ovals, oscales = _quantize_int8_np(ov_v.reshape(-1, self.dim))
-            snap["ov_vectors"] = jax.device_put(
-                ovals.reshape(d_ax, ov_cap, self.dim), shard3)
-            snap["ov_scales"] = jax.device_put(
-                oscales.reshape(d_ax, ov_cap).astype(np.float32), shard2)
-        else:
-            jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-            snap["vec_lists"] = jax.device_put(jnp.asarray(vec, jdt), shard4)
-            snap["scale_lists"] = jax.device_put(
-                jnp.ones((d_ax, nlist, cap), jnp.float32), shard3)
-            snap["ov_vectors"] = jax.device_put(jnp.asarray(ov_v, jdt), shard3)
-            snap["ov_scales"] = jax.device_put(jnp.asarray(ov_s), shard2)
-        snap["centroids"] = jnp.asarray(centroids)
-        snap["ns_lists"] = jax.device_put(jnp.asarray(ns_l), shard3)
-        snap["canon_lists"] = jax.device_put(jnp.asarray(canon_l), shard3)
-        snap["row_lists"] = jax.device_put(jnp.asarray(rows_l), shard3)
-        snap["ov_ns"] = jax.device_put(jnp.asarray(ov_n), shard2)
-        snap["ov_canon"] = jax.device_put(jnp.asarray(ov_c), shard2)
-        snap["ov_rows"] = jax.device_put(jnp.asarray(ov_r), shard2)
+        snap["vec_lists"] = asm("vec_lists", (d_ax, nlist, cap, self.dim))
+        snap["scale_lists"] = asm("scale_lists", (d_ax, nlist, cap))
+        snap["ns_lists"] = asm("ns_lists", (d_ax, nlist, cap))
+        snap["canon_lists"] = asm("canon_lists", (d_ax, nlist, cap))
+        snap["row_lists"] = asm("row_lists", (d_ax, nlist, cap))
+        snap["ov_vectors"] = asm("ov_vectors", (d_ax, ov_cap, self.dim))
+        snap["ov_scales"] = asm("ov_scales", (d_ax, ov_cap))
+        snap["ov_ns"] = asm("ov_ns", (d_ax, ov_cap))
+        snap["ov_canon"] = asm("ov_canon", (d_ax, ov_cap))
+        snap["ov_rows"] = asm("ov_rows", (d_ax, ov_cap))
+        snap["centroids"] = jax.device_put(jnp.asarray(centroids),
+                                           NamedSharding(mesh, P()))
         snap["nlist"] = nlist
         snap["have_ov"] = have_ov
-        self._sivf_fns.clear()
+        if self.incremental:
+            self._alloc_append_block(snap)
         return snap
+
+    def _build_shard(self, rows_s: np.ndarray, a: np.ndarray, nlist: int,
+                     cap: int, ov_cap: int, s: int) -> dict[str, Any]:
+        """Build ONE shard's inverted lists + overflow block on device and
+        return (1, ...)-shaped per-device blocks.  Also records the host
+        slot maps incremental deletions use for in-place sharded kills."""
+        from tpu_rag.ops.ivf_build import group_lists
+
+        x_s = jnp.asarray(self._vectors[rows_s].astype(np.float32))
+        vec_l, ns_l, canon_l, row_l, _, _ = group_lists(
+            x_s, jnp.asarray(self._ns[rows_s]), jnp.asarray(self._canon[rows_s]),
+            jnp.asarray(rows_s.astype(np.int32)), jnp.asarray(a),
+            nlist=nlist, cap=cap)
+
+        # host bookkeeping mirrors group_lists' slot math (ints only)
+        order = np.argsort(a, kind="stable")
+        sa = a[order]
+        starts = np.searchsorted(sa, np.arange(nlist))
+        slots = np.arange(len(a)) - starts[sa]
+        fits = slots < cap
+        in_rows = rows_s[order[fits]]
+        self._s_slot_of[in_rows] = s * nlist * cap + (sa * cap + slots)[fits]
+        sp_pos = order[~fits]
+        sp_rows = rows_s[sp_pos]
+        self._s_ov_of[sp_rows] = s * ov_cap + np.arange(len(sp_rows))
+
+        if self.dtype == "int8":
+            vals, scales = quantize_int8_rows(vec_l.reshape(-1, self.dim))
+            vec_fin = vals.reshape(nlist, cap, self.dim)
+            sc_fin = scales.reshape(nlist, cap).astype(jnp.float32)
+        else:
+            jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+            vec_fin = vec_l.astype(jdt)
+            sc_fin = jnp.ones((nlist, cap), jnp.float32)
+
+        take = np.zeros(ov_cap, np.int32)
+        take[:len(sp_pos)] = sp_pos
+        ov_v = x_s[jnp.asarray(take)]          # device gather of spilled rows
+        if self.dtype == "int8":
+            ov_vals, ov_sc = quantize_int8_rows(ov_v)
+            ov_sc = ov_sc.astype(jnp.float32)
+        else:
+            jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+            ov_vals = ov_v.astype(jdt)
+            ov_sc = jnp.ones((ov_cap,), jnp.float32)
+        ov_n = np.full(ov_cap, PAD_TAG, np.int32)
+        ov_c = np.full(ov_cap, PAD_TAG, np.int32)
+        ov_r = np.full(ov_cap, -1, np.int32)
+        ov_n[:len(sp_rows)] = self._ns[sp_rows]
+        ov_c[:len(sp_rows)] = self._canon[sp_rows]
+        ov_r[:len(sp_rows)] = sp_rows
+
+        return {
+            "vec_lists": vec_fin[None], "scale_lists": sc_fin[None],
+            "ns_lists": ns_l[None], "canon_lists": canon_l[None],
+            "row_lists": row_l[None],
+            "ov_vectors": ov_vals[None], "ov_scales": ov_sc[None],
+            "ov_ns": jnp.asarray(ov_n)[None], "ov_canon": jnp.asarray(ov_c)[None],
+            "ov_rows": jnp.asarray(ov_r)[None],
+        }
+
+    def _flush_kills(self, snap: dict[str, Any]) -> None:
+        """Sharded IVF deletions tag-kill in place wherever the row lives:
+        the (unsharded) append block, the sharded inverted lists (host slot
+        map -> global flat position -> shard-local scatter), or the sharded
+        overflow block.  Transfer is O(deleted rows)."""
+        from tpu_rag.index.flat import KILL_GRANULE, _kill_tags_device
+
+        append_slots, main_flat, ov_flat = [], [], []
+        for hr in self._pending_dead:
+            slot = self._append_slot.get(hr)
+            if slot is not None:
+                append_slots.append(slot)
+                continue
+            if hr < len(self._s_slot_of) and self._s_slot_of[hr] >= 0:
+                main_flat.append(int(self._s_slot_of[hr]))
+                continue
+            if hr < len(self._s_ov_of) and self._s_ov_of[hr] >= 0:
+                ov_flat.append(int(self._s_ov_of[hr]))
+        self._pending_dead.clear()
+
+        def chunked(rows):
+            arr = np.asarray(rows, np.int32)
+            for i in range(0, len(arr), KILL_GRANULE):
+                chunk = arr[i:i + KILL_GRANULE]
+                if len(chunk) < KILL_GRANULE:  # pad with a repeat (idempotent)
+                    chunk = np.concatenate(
+                        [chunk, np.full(KILL_GRANULE - len(chunk), chunk[0],
+                                        np.int32)])
+                yield jnp.asarray(chunk)
+
+        for chunk in chunked(append_slots):
+            snap["a_ns"], snap["a_canon"] = _kill_tags_device(
+                snap["a_ns"], snap["a_canon"], chunk)
+        if main_flat or ov_flat:
+            if self._sharded_kill is None:
+                self._sharded_kill = make_sharded_kill(self._mesh(), self.axis)
+            for chunk in chunked(main_flat):
+                snap["ns_lists"], snap["canon_lists"] = self._sharded_kill(
+                    snap["ns_lists"], snap["canon_lists"], chunk)
+            for chunk in chunked(ov_flat):
+                snap["ov_ns"], snap["ov_canon"] = self._sharded_kill(
+                    snap["ov_ns"], snap["ov_canon"], chunk)
+        self.snapshot_stats["incremental_kills"] += (
+            len(append_slots) + len(main_flat) + len(ov_flat))
 
     def search(self, queries: np.ndarray, k: int, *, namespace: str | None = None,
                canonicality: str | None = None) -> SearchResult:
@@ -395,6 +553,17 @@ class ShardedIVFIndex(IVFIndex):
 
         snap = self.device_snapshot()
         k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
+        if snap["nlist"] == 0:
+            # base snapshot empty — every live row is in the append block
+            sc = np.full((nq, k_scan), -np.inf, np.float32)
+            hrows = np.full((nq, k_scan), -1, np.int64)
+            if snap.get("a_fill", 0) > 0:
+                sc, hrows = self._merge_append_block(
+                    jnp.asarray(queries), sc, hrows, snap, k_scan,
+                    self._wants_2d(want_ns, want_canon))
+            if k_scan > k:
+                sc, hrows = self._refine_exact(queries, sc, hrows, k)
+            return self._to_result(sc, hrows)
         nprobe = min(self.nprobe, snap["nlist"])
         interpret = jax.default_backend() != "tpu"
         key = (k_scan, nprobe, snap["have_ov"], snap["nlist"])
@@ -417,6 +586,10 @@ class ShardedIVFIndex(IVFIndex):
         sc = np.asarray(sc)
         hrows = np.asarray(hrows).astype(np.int64)
         hrows = np.where(np.isfinite(sc), hrows, -1)
+        if snap.get("a_fill", 0) > 0:
+            sc, hrows = self._merge_append_block(
+                jnp.asarray(queries), sc, hrows, snap, k_scan,
+                self._wants_2d(want_ns, want_canon))
         if k_scan > k:
             sc, hrows = self._refine_exact(queries, sc, hrows, k)
         return self._to_result(sc, hrows)

@@ -11,6 +11,13 @@ An idle server pays nothing: the first request is picked up immediately and
 runs alone.  Under concurrency, arrivals during an in-flight device call form
 the next batch.  (The reference stack had no equivalent; each request paid a
 full encoder forward + ANN query — api/app.py:539-566.)
+
+With workers > 1, that many windows are in flight at once: while one worker
+blocks on its device readback (a full RTT on tunneled backends), another
+tokenizes and dispatches the next window, so the device never idles between
+windows.  Window sizes are recorded as a power-of-two histogram in
+GLOBAL_METRICS ({name}_window_le_{2^k}_total) — the serving bench reads it
+to prove the batching actually fills under load.
 """
 
 from __future__ import annotations
@@ -28,22 +35,28 @@ class MicroBatcher:
     every caller in the failed batch."""
 
     def __init__(self, run_batch: Callable[[list], list], *,
-                 max_batch: int = 64, name: str = "microbatch") -> None:
+                 max_batch: int = 64, name: str = "microbatch",
+                 workers: int = 1) -> None:
         self._run = run_batch
         self.max_batch = max(1, int(max_batch))
         self.name = name
+        self.workers = max(1, int(workers))
         self._q: queue.Queue = queue.Queue()
-        self._thread: threading.Thread | None = None
+        self._threads: list[threading.Thread] = []
         self._start_lock = threading.Lock()
 
     def _ensure_worker(self) -> None:
-        if self._thread is not None and self._thread.is_alive():
+        alive = [t for t in self._threads if t.is_alive()]
+        if len(alive) >= self.workers:
             return
         with self._start_lock:
-            if self._thread is None or not self._thread.is_alive():
-                self._thread = threading.Thread(
-                    target=self._loop, daemon=True, name=self.name)
-                self._thread.start()
+            self._threads = [t for t in self._threads if t.is_alive()]
+            while len(self._threads) < self.workers:
+                t = threading.Thread(
+                    target=self._loop, daemon=True,
+                    name=f"{self.name}-{len(self._threads)}")
+                t.start()
+                self._threads.append(t)
 
     def submit(self, item: Any, timeout: float | None = 120.0) -> Any:
         cell: dict[str, Any] = {"ev": threading.Event()}
@@ -65,6 +78,11 @@ class MicroBatcher:
                     break
             GLOBAL_METRICS.inc(f"{self.name}_batches_total")
             GLOBAL_METRICS.inc(f"{self.name}_items_total", len(batch))
+            # window-fill histogram (power-of-two buckets): le_1, le_2, ...
+            bucket = 1
+            while bucket < len(batch):
+                bucket *= 2
+            GLOBAL_METRICS.inc(f"{self.name}_window_le_{bucket}_total")
             try:
                 results = self._run([item for item, _ in batch])
                 if len(results) != len(batch):
