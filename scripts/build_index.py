@@ -27,6 +27,16 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256, help="embed batch size")
     args = ap.parse_args()
 
+    # honor JAX_PLATFORMS even when a site hook (e.g. the axon TPU plugin)
+    # overrides platform selection after env parsing — JAX_PLATFORMS=cpu
+    # must build on CPU without touching a tunneled TPU
+    if os.getenv("JAX_PLATFORMS"):
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.getenv("JAX_PLATFORMS"))
+        except Exception:
+            pass
+
     from tpu_rag.config import config_from_env
     from tpu_rag.engine import RagEngine
     from tpu_rag.ingest.chunker import to_chunks

@@ -99,3 +99,88 @@ def test_fused_falls_back_for_fake_encoder(tmp_path):
     assert len(hits) == 2
     assert not any(isinstance(key, tuple) and key and key[0] == "fused"
                    for key in eng.index._xla_fn_cache)
+
+
+def test_fused_device_refine_bf16_matches_host_refine(tmp_path):
+    """bf16 fused serving path: the device-side int8-residual refine must
+    produce the same ids as the host f32 refine (recall-1.0 contract) while
+    reading back only k scores+ids (no query embeddings)."""
+    rng = np.random.default_rng(0)
+    n, d, k = 5000, 64, 10
+    centers = rng.standard_normal((16, d)).astype(np.float32)
+    x = (centers[rng.integers(0, 16, n)]
+         + 0.25 * rng.standard_normal((n, d))).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+
+    dev = FlatIndex(d, dtype="bfloat16", use_pallas=False)
+    dev.add(ids, x)
+    host = FlatIndex(d, dtype="bfloat16", use_pallas=False)
+    host.device_refine = False          # forces the host f32 refine path
+    host.add(ids, x)
+
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+
+    class VecEnc:
+        """Encoder stand-in whose 'forward' returns fixed query vectors."""
+        def fwd(self, qmat):
+            import jax.numpy as jnp
+            qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+            def forward(params, ids, mask=None):
+                return jnp.asarray(qn[: ids.shape[0]])
+            return forward
+
+    q = (centers[rng.integers(0, 16, 4)]
+         + 0.25 * rng.standard_normal((4, d))).astype(np.float32)
+    fake_ids = np.zeros((4, 8), np.int32)
+    fwd = VecEnc().fwd(q)
+    out_dev = dev.search_fused(fwd, "vecenc", {}, fake_ids, None, 4, k,
+                               return_qv=False)
+    out_host = host.search_fused(fwd, "vecenc", {}, fake_ids, None, 4, k,
+                                 return_qv=False)
+    assert out_dev is not None and out_host is not None
+    res_dev, qv_dev = out_dev
+    res_host, qv_host = out_host
+    assert qv_dev is None          # no embedding readback on the device path
+    assert "r_vectors" in dev.device_snapshot()
+    assert "r_vectors" not in host.device_snapshot()
+    assert res_dev.ids == res_host.ids
+    for a, b in zip(res_dev.similarities, res_host.similarities):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_fused_append_block_scanned_in_executable(tmp_path):
+    """Rows added after the snapshot are found by the fused path (the append
+    block is scanned inside the same executable) and deletes are honored."""
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+    cfg = _cfg(tmp_path, "appendfused", microbatch=False)
+    cfg.index_dtype = "bfloat16"
+    eng = RagEngine(cfg, encoder=enc)
+    _seed(eng, enc, n=24)
+    eng.query_vector("warm snapshot", 3, None, None)
+    assert eng.index.snapshot_stats["full_rebuilds"] == 1
+
+    doc = "freshly appended super unique zanzibar document"
+    eng.index.add(["fresh"], enc.embed([doc]), [doc], [{}])
+    # identical text -> identical embedding -> the appended row is top-1
+    hits = eng.query_vector(doc, 3, None, None)
+    assert hits and hits[0]["id"] == "fresh"
+    assert eng.index.snapshot_stats["full_rebuilds"] == 1  # incremental
+
+    eng.index.delete(ids=["fresh"])
+    eng._qvec_cache.clear()  # force the fused path again for the same text
+    hits = eng.query_vector(doc, 3, None, None)
+    assert all(h["id"] != "fresh" for h in hits)
+    assert eng.index.snapshot_stats["full_rebuilds"] == 1
+
+
+def test_query_vector_batch_takes_fused_path(tmp_path):
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+    eng = RagEngine(_cfg(tmp_path, "qbatch", microbatch=False), encoder=enc)
+    docs = _seed(eng, enc)
+    qs = [f"document about topic-{i % 5} tok{i}" for i in range(12)]  # > batch
+    got = eng.query_vector_batch(qs, 5, None, None)
+    assert len(got) == 12
+    ref = [[h["id"] for h in vector_hits(eng.index, enc.embed([q]), 5, None, None)]
+           for q in qs]
+    assert [[h["id"] for h in hits] for hits in got] == ref

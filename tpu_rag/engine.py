@@ -205,13 +205,20 @@ class RagEngine:
 
     def _fused_vector_hits_batch(self, texts: list[str], k: int,
                                  namespace: str | None,
-                                 canonicality: str | None
+                                 canonicality: str | None,
+                                 cache_qv: bool = True
                                  ) -> list[list[dict]] | None:
         """One-dispatch embed+search (FlatIndex.search_fused): the encoder
         forward and the top-k scan compile into a single executable, halving
         per-request device round-trips.  Returns None to fall back to the
         two-step path (non-flat index, empty index, unseen filter tag, or
-        any error)."""
+        any error).
+
+        cache_qv=False (the microbatch window path) skips the query-embedding
+        readback entirely — with the device-side residual refine the wire
+        cost per query drops to ~k scores+ids, which is what sets the
+        serving-throughput ceiling on bandwidth-limited links.  The price:
+        repeats of those queries won't hit the embedding cache."""
         from tpu_rag.index.flat import FlatIndex
 
         if (type(self.index) is not FlatIndex
@@ -223,12 +230,20 @@ class RagEngine:
             enc = self.encoder
             if len(texts) > enc.batch:
                 return None  # window exceeds one encoder bucket
-            fwd, fkey = enc.fused_forward()
             # stage breakdown for the serving bench: host tokenize vs the
             # single fused device call (encode+scan+packed readback — one
             # dispatch, so encode/scan can't be split without a second sync)
             with GLOBAL_METRICS.timed("search_stage_tokenize"):
-                ids, mask = enc.tokenize_batch(texts, batch=enc._bucket(len(texts)))
+                if hasattr(enc, "fused_forward_ids"):
+                    # mask derived on device; int16 ids; seq-bucketed
+                    fwd, fkey = enc.fused_forward_ids()
+                    ids = enc.tokenize_query_ids(
+                        texts, batch=enc._bucket(len(texts)))
+                    mask = None
+                else:
+                    fwd, fkey = enc.fused_forward()
+                    ids, mask = enc.tokenize_batch(
+                        texts, batch=enc._bucket(len(texts)))
             from tpu_rag.retrieval.hybrid import clamp_k
 
             kk = clamp_k(k)
@@ -236,13 +251,16 @@ class RagEngine:
                 out = self.index.search_fused(
                     fwd, fkey, enc.params, ids, mask, len(texts), kk,
                     namespace=namespace or None,
-                    canonicality=canonicality or None)
+                    canonicality=canonicality or None,
+                    return_qv=cache_qv)
             if out is None:
                 return None
             res, qv = out
-            for qi, text in enumerate(texts):
-                self._qvec_store(hashlib.md5(text.encode("utf-8")).hexdigest(),
-                                 qv[qi:qi + 1])
+            if qv is not None:
+                for qi, text in enumerate(texts):
+                    self._qvec_store(
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                        qv[qi:qi + 1])
             from tpu_rag.retrieval.hybrid import result_hits
 
             return [result_hits(res, qi) for qi in range(len(texts))]
@@ -309,7 +327,7 @@ class RagEngine:
                     and all(self._qvec_cached(kk) is None for kk in keys0)):
                 _, k1, ns1, canon1 = items[0]
                 hits = self._fused_vector_hits_batch(
-                    [q for q, *_ in items], k1, ns1, canon1)
+                    [q for q, *_ in items], k1, ns1, canon1, cache_qv=False)
                 if hits is not None:
                     return hits
 
@@ -344,8 +362,24 @@ class RagEngine:
                            canonicality: str | None) -> list[list[dict]]:
         """Batched embed + one kernel pass for all queries (extension: the
         reference had no batched retrieval). Returns per-query hit lists
-        shaped like query_vector's."""
+        shaped like query_vector's.  Takes the fused single-dispatch path in
+        encoder-batch chunks when available (cuts the wire cost per query to
+        ~k scores+ids); falls back to embed-then-search otherwise."""
         try:
+            enc = self.encoder
+            fused_ok = hasattr(enc, "batch")
+            out: list[list[dict]] = []
+            if fused_ok:
+                for i in range(0, len(queries), enc.batch):
+                    chunk = queries[i:i + enc.batch]
+                    hits = self._fused_vector_hits_batch(
+                        chunk, k, namespace, canonicality, cache_qv=False)
+                    if hits is None:
+                        fused_ok = False
+                        break
+                    out.extend(hits)
+            if fused_ok:
+                return out
             qv = self.embed(queries)
             from tpu_rag.retrieval.hybrid import vector_hits_batch
 

@@ -68,6 +68,14 @@ def _append_chunk_device(vb, sb, nb, cb, new_vals, new_scales, new_ns, new_canon
 
 
 @jax.jit
+def _append_residual_device(rb, rsb, new_r, new_rs, offset):
+    """Write one APPEND_GRANULE-row residual chunk into the append block."""
+    rb = jax.lax.dynamic_update_slice(rb, new_r, (offset, 0))
+    rsb = jax.lax.dynamic_update_slice(rsb, new_rs, (offset,))
+    return rb, rsb
+
+
+@jax.jit
 def _kill_tags_device(ns, canon, rows):
     """Tombstone device rows in place: PAD_TAG rows are filtered by every
     search kernel, so flipping the tags deletes without moving vectors."""
@@ -151,6 +159,15 @@ class FlatIndex:
         # then exactly re-score those few rows with the f32 master copy
         # (recall 0.934 -> ~bf16-level at int8 scan cost). 0 disables.
         self.refine_factor = 4
+        # Device-side refine (the serving fused path): keep an int8-quantized
+        # RESIDUAL (x_f32 - dequant(stored)) next to the stored vectors and
+        # re-score the scan's k_scan candidates on device in ~f32 precision
+        # (reconstruction error ~stored-error/127).  The fused readback then
+        # shrinks to k scores+ids (~80 B/query instead of ~1.7 KB with the
+        # embedding + host refine) — the readback is the serving-throughput
+        # cap on bandwidth-limited links.  Costs +1 byte/dim HBM; capped.
+        self.device_refine = True
+        self.device_refine_max_rows = 4_000_000
 
         self._vectors = np.zeros((0, dim), np.float32)
         self._ids: list[str] = []
@@ -337,15 +354,37 @@ class FlatIndex:
             scales = scales.at[n:].set(0.0) if n_pad > n else scales
             snap["vectors"] = vals
             snap["scales"] = scales
+            if self._use_device_refine(n_pad):
+                q8, s8 = _quantize_int8_np(vecs)  # host mirror of the device quant
+                recon = q8.astype(np.float32) * s8[:, None]
+                self._attach_residual(snap, vecs - recon)
         else:
             jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
             snap["vectors"] = jnp.asarray(vecs, dtype=jdt)
             # resident ones: both search paths take scales as a traced arg
             # (a per-call jnp.ones would cost one dispatch per search)
             snap["scales"] = jnp.ones((n_pad,), jnp.float32)
+            if self.dtype == "bfloat16" and self._use_device_refine(n_pad):
+                import ml_dtypes
+                recon = vecs.astype(ml_dtypes.bfloat16).astype(np.float32)
+                self._attach_residual(snap, vecs - recon)
         if self.incremental:
             self._alloc_append_block(snap)
         return snap
+
+    def _use_device_refine(self, n_pad: int) -> bool:
+        return (self.device_refine and self.refine_factor > 0
+                and n_pad <= self.device_refine_max_rows)
+
+    def _attach_residual(self, snap: dict[str, Any], res: np.ndarray) -> None:
+        """int8-quantize the storage residual (x_f32 - dequant(stored)) and
+        keep it on device: the fused path re-scores candidates as
+        stored + residual ~ f32 (reconstruction rel err ~1e-5 for bf16)."""
+        r8, rs = _quantize_int8_np(res)
+        rs = rs.copy()
+        rs[~(np.abs(res).max(axis=1) > 0)] = 0.0  # exact rows: no correction
+        snap["r_vectors"] = jnp.asarray(r8)
+        snap["r_scales"] = jnp.asarray(rs)
 
     def _alloc_append_block(self, snap: dict[str, Any]) -> None:
         """Attach an empty fixed-capacity append block to a fresh snapshot."""
@@ -357,6 +396,9 @@ class FlatIndex:
         snap["a_ns"] = jnp.full((cap,), PAD_TAG, jnp.int32)
         snap["a_canon"] = jnp.full((cap,), PAD_TAG, jnp.int32)
         snap["a_fill"] = 0
+        if "r_vectors" in snap:
+            snap["a_r_vectors"] = jnp.zeros((cap, self.dim), jnp.int8)
+            snap["a_r_scales"] = jnp.zeros((cap,), jnp.float32)
         self._append_rows = np.full((cap,), -1, np.int64)
         self._append_slot = {}
 
@@ -434,14 +476,23 @@ class FlatIndex:
             if self.dtype == "int8":
                 vals, scales = _quantize_int8_np(vecs)
                 scales[g:] = 0.0
+                recon = vals.astype(np.float32) * scales[:, None]
             else:
                 vals = vecs.astype(jnp.bfloat16 if self.dtype == "bfloat16" else np.float32)
                 scales = np.ones((APPEND_GRANULE,), np.float32)
+                recon = vals.astype(np.float32)
             (snap["a_vectors"], snap["a_scales"], snap["a_ns"],
              snap["a_canon"]) = _append_chunk_device(
                 snap["a_vectors"], snap["a_scales"], snap["a_ns"], snap["a_canon"],
                 jnp.asarray(vals), jnp.asarray(scales), jnp.asarray(ns),
                 jnp.asarray(canon), jnp.int32(fill))
+            if "a_r_vectors" in snap:
+                r8, rs = _quantize_int8_np(vecs - recon)
+                rs = rs.copy()
+                rs[~(np.abs(vecs - recon).max(axis=1) > 0)] = 0.0
+                snap["a_r_vectors"], snap["a_r_scales"] = _append_residual_device(
+                    snap["a_r_vectors"], snap["a_r_scales"],
+                    jnp.asarray(r8), jnp.asarray(rs), jnp.int32(fill))
             for off, hr in enumerate(chunk_rows):
                 self._append_rows[fill + off] = hr
                 self._append_slot[hr] = fill + off
@@ -536,7 +587,8 @@ class FlatIndex:
 
     def search_fused(self, forward, fkey, params, ids, mask, nq: int, k: int,
                      *, namespace: str | None = None,
-                     canonicality: str | None = None):
+                     canonicality: str | None = None,
+                     return_qv: bool = True):
         """One-dispatch embed+search: `forward(params, ids, mask) -> (B, dim)
         float32, L2-normalized` (a traceable encoder forward, e.g.
         BiEncoder.fused_forward) is compiled INTO the same executable as the
@@ -545,8 +597,14 @@ class FlatIndex:
         backends.  `fkey` identifies the forward in the jit cache; `nq` is
         the number of real (non-padding) query rows in the batch.
 
-        Returns (SearchResult, qvecs (nq, dim) np.float32) — the embeddings
-        come back with the scores so callers can reuse/cache them — or None
+        `mask` may be None when the forward derives the attention mask from
+        the ids on device (BiEncoder.fused_forward_ids) — halves the upload.
+        `return_qv=False` drops the embeddings from the packed readback
+        (scores+ids only, ~10x fewer bytes per query — the readback is the
+        serving throughput cap on bandwidth-limited links); the second
+        element of the return value is then None.
+
+        Returns (SearchResult, qvecs (nq, dim) np.float32 | None) — or None
         when the caller must fall back to the two-step path (empty index or
         a filter tag this index has never seen).
         """
@@ -556,19 +614,29 @@ class FlatIndex:
             return None
         snap = self.device_snapshot()
         k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
-        wants = self._wants_cache.get((want_ns, want_canon))
-        if wants is None:
-            wants = jnp.array([[want_ns, want_canon]], jnp.int32)
-            self._wants_cache[(want_ns, want_canon)] = wants
+        wants = self._wants_2d(want_ns, want_canon)
         b, t = ids.shape
-        use_pallas = self.use_pallas and snap["n_pad"] >= self.pallas_min_rows
+        n_pad = snap["n_pad"]
+        # the device-side residual refine keeps recall at the host-refine
+        # level without reading the query embeddings back; when the snapshot
+        # has no residuals (f32 storage, refine disabled, or an oversized
+        # corpus), fall back to the host refine, which needs qv
+        dev_refine = "r_vectors" in snap and k_scan > k
+        have_append = "a_vectors" in snap
+        host_refine = k_scan > k and not dev_refine
+        ret_qv = return_qv or host_refine or (
+            snap.get("a_fill", 0) > 0 and not have_append)
+        k_out = k if dev_refine else k_scan
+        use_pallas = self.use_pallas and n_pad >= self.pallas_min_rows
         mode = self.effective_search_mode(snap["n"]) if use_pallas else "exact"
-        key = ("fused", fkey, b, t, k_scan, snap["bn"], mode, use_pallas)
+        key = ("fused", fkey, b, t, k_scan, snap["bn"], mode, use_pallas,
+               mask is None, ret_qv, str(np.asarray(ids).dtype),
+               dev_refine, have_append)
         fn = self._xla_fn_cache.get(key)
         if fn is None:
             bn = snap["bn"]
 
-            def impl(params, tids, tmask, x, s, ns_t, canon_t, w):
+            def impl(params, tids, tmask, x, s, ns_t, canon_t, w, extras):
                 q = forward(params, tids, tmask)
                 if use_pallas:
                     sc, ii = fused_matmul_topk(
@@ -580,32 +648,92 @@ class FlatIndex:
                         q, x, k_scan, db_scales=s, ns_tags=ns_t,
                         canon_tags=canon_t, want_ns=w[0, 0],
                         want_canon=w[0, 1])
-                # pack (scores | bitcast ids | embeddings) into ONE f32 array:
-                # a single host readback instead of three — each separate
-                # np.asarray sync costs a full RTT on tunneled backends.
-                # Index values are bounded by n_pad, so the int32 cast is
-                # lossless even under jax_enable_x64 (where topk yields int64
-                # and a raw bitcast would grow a trailing axis).
-                return jnp.concatenate(
-                    [sc, jax.lax.bitcast_convert_type(ii.astype(jnp.int32),
-                                                      jnp.float32), q],
-                    axis=1)
+                ii = ii.astype(jnp.int32)
+                if have_append:
+                    # scan the (fixed-capacity, mostly PAD) append block in
+                    # the SAME executable; its ids live at n_pad + slot
+                    k_a = min(k_scan, extras["a_vectors"].shape[0])
+                    sc_a, ii_a = topk_xla_reference(
+                        q, extras["a_vectors"], k_a,
+                        db_scales=extras["a_scales"], ns_tags=extras["a_ns"],
+                        canon_tags=extras["a_canon"], want_ns=w[0, 0],
+                        want_canon=w[0, 1])
+                    ii_a = jnp.where(ii_a >= 0, ii_a.astype(jnp.int32) + n_pad,
+                                     -1)
+                    sc = jnp.concatenate([sc, sc_a], axis=1)
+                    ii = jnp.concatenate([ii, ii_a], axis=1)
+                if dev_refine:
+                    # residual refine on device: stored + int8 residual ~ f32
+                    # (rel err ~1e-5); re-score every candidate with the f32
+                    # query the encoder just produced, keep the top k
+                    safe = jnp.clip(ii, 0, n_pad - 1)
+                    cand = (x[safe].astype(jnp.float32)
+                            * s[safe][..., None]
+                            + extras["r_vectors"][safe].astype(jnp.float32)
+                            * extras["r_scales"][safe][..., None])
+                    if have_append:
+                        slot = jnp.clip(ii - n_pad, 0,
+                                        extras["a_vectors"].shape[0] - 1)
+                        cand_a = (extras["a_vectors"][slot].astype(jnp.float32)
+                                  * extras["a_scales"][slot][..., None]
+                                  + extras["a_r_vectors"][slot].astype(jnp.float32)
+                                  * extras["a_r_scales"][slot][..., None])
+                        cand = jnp.where((ii >= n_pad)[..., None], cand_a, cand)
+                    exact = jnp.einsum("qd,qkd->qk", q, cand,
+                                       preferred_element_type=jnp.float32)
+                    exact = jnp.where((ii >= 0) & jnp.isfinite(sc), exact,
+                                      -jnp.inf)
+                    sc, pos = jax.lax.top_k(exact, k)
+                    ii = jnp.take_along_axis(ii, pos, axis=1)
+                else:
+                    merged = min(k_out, sc.shape[1])
+                    sc, pos = jax.lax.top_k(sc, merged)
+                    ii = jnp.take_along_axis(ii, pos, axis=1)
+                # pack (scores | bitcast ids | embeddings?) into ONE f32
+                # array: a single host readback instead of three — each
+                # separate np.asarray sync costs a full RTT on tunneled
+                # backends.  Index values are bounded by n_pad + capacity, so
+                # the int32 cast is lossless even under jax_enable_x64 (where
+                # topk yields int64 and a raw bitcast would grow an axis).
+                parts = [sc, jax.lax.bitcast_convert_type(ii, jnp.float32)]
+                if ret_qv:
+                    parts.append(q)
+                return jnp.concatenate(parts, axis=1)
 
             fn = jax.jit(impl)
             self._xla_fn_cache[key] = fn
-        packed = np.asarray(fn(params, jnp.asarray(ids), jnp.asarray(mask),
+        extras = {}
+        if have_append:
+            for e in ("a_vectors", "a_scales", "a_ns", "a_canon"):
+                extras[e] = snap[e]
+        if dev_refine:
+            extras["r_vectors"] = snap["r_vectors"]
+            extras["r_scales"] = snap["r_scales"]
+            if have_append:
+                extras["a_r_vectors"] = snap["a_r_vectors"]
+                extras["a_r_scales"] = snap["a_r_scales"]
+        packed = np.asarray(fn(params, jnp.asarray(ids),
+                               None if mask is None else jnp.asarray(mask),
                                snap["vectors"], snap["scales"],
-                               snap["ns"], snap["canon"], wants))[:nq]
-        sc = packed[:, :k_scan].copy()
-        idx = np.ascontiguousarray(packed[:, k_scan:2 * k_scan]).view(np.int32)
-        qv_np = packed[:, 2 * k_scan:].copy()
-        hrows = self._device_to_host_rows(sc, idx, snap["rows"], snap["n"])
-        if snap.get("a_fill", 0) > 0:
+                               snap["ns"], snap["canon"], wants, extras))[:nq]
+        sc = packed[:, :k_out].copy()
+        idx = np.ascontiguousarray(packed[:, k_out:2 * k_out]).view(np.int32)
+        qv_np = packed[:, 2 * k_out:].copy() if ret_qv else None
+        # device ids -> host rows: base rows via the snapshot map, append
+        # rows (>= n_pad) via the append-slot map
+        in_append = idx >= n_pad
+        hrows = self._device_to_host_rows(sc, np.where(in_append, -1, idx),
+                                          snap["rows"], snap["n"])
+        if have_append and in_append.any():
+            slots = np.clip(idx - n_pad, 0, len(self._append_rows) - 1)
+            hrows = np.where(in_append & np.isfinite(sc),
+                             self._append_rows[slots], hrows)
+        if snap.get("a_fill", 0) > 0 and not have_append:
             sc, hrows = self._merge_append_block(jnp.asarray(qv_np), sc, hrows,
                                                  snap, k_scan, wants)
-        if k_scan > k:
+        if host_refine:
             sc, hrows = self._refine_exact(qv_np, sc, hrows, k)
-        return self._to_result(sc, hrows), qv_np
+        return self._to_result(sc, hrows), (qv_np if return_qv else None)
 
     def _search_append_block(self, qj, snap: dict[str, Any], k_scan: int):
         """Scan the (small) device append block with the cached XLA path."""
@@ -649,6 +777,8 @@ class FlatIndex:
     @staticmethod
     def _device_to_host_rows(sc: np.ndarray, idx: np.ndarray,
                              rows_map: np.ndarray, n: int) -> np.ndarray:
+        if n == 0 or len(rows_map) == 0:  # base snapshot empty (append-only)
+            return np.full(idx.shape, -1, np.int64)
         valid = (idx >= 0) & (idx < n) & np.isfinite(sc)
         safe = np.clip(idx, 0, max(n - 1, 0))
         return np.where(valid, rows_map[safe], -1)

@@ -237,3 +237,41 @@ class BiEncoder:
         """Tokenize to fixed-shape (ids, mask) int32 arrays (host-side)."""
         b = batch or self._bucket(len(texts))
         return encode_batch(self.tokenizer, texts, self.seq_len, batch=b)
+
+    def fused_forward_ids(self):
+        """Like fused_forward but mask-free: the attention mask is derived
+        ON DEVICE from `ids != pad_id`, and ids may arrive as int16 (upcast
+        in the executable).  Halves the per-query upload on the serving
+        path — host->device bytes are the serving-throughput cap on
+        bandwidth-limited links."""
+        from tpu_rag.models.tokenizer import _special_ids
+
+        module = self.module
+        pad_id = _special_ids(self.tokenizer)[2]
+
+        def forward(params, ids, mask=None):
+            ids32 = ids.astype(jnp.int32)
+            m = (ids32 != pad_id).astype(jnp.int32)
+            hidden = module.apply({"params": params}, ids32, m)
+            return l2_normalize(mean_pool(hidden, m).astype(jnp.float32))
+
+        return forward, ("biencoder_ids", id(self))
+
+    def tokenize_query_ids(self, texts: list[str], batch: int | None = None):
+        """Mask-free, seq-bucketed tokenization for the fused serving path:
+        (B, seq_bucket) ids, int16 when the vocab allows (uploaded bytes per
+        query drop ~8x vs the full-seq_len ids+mask pair for short queries)."""
+        import numpy as np
+
+        from tpu_rag.models.tokenizer import _special_ids
+
+        b = batch or self._bucket(len(texts))
+        cls_id, sep_id, pad_id = _special_ids(self.tokenizer)
+        toks = [self.tokenizer.tokenize_ids(t)[: self.seq_len - 2] for t in texts]
+        t = self._seq_bucket(max((len(x) for x in toks), default=0) + 2)
+        dt = np.int16 if self.spec.vocab_size < 2 ** 15 else np.int32
+        ids = np.full((b, t), pad_id, dt)
+        for r, row_t in enumerate(toks):
+            row = [cls_id] + row_t + [sep_id]
+            ids[r, : len(row)] = row
+        return ids
