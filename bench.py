@@ -391,6 +391,76 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---------------- encoder ingest throughput + MFU (VERDICT r2 #6): the
+    # 40K-doc real-text corpus (docstring-mined, regenerated on demand),
+    # length-bucketed batches, int16 ids-only uploads, pipelined dispatch.
+    encoder_ingest = None
+    if not os.getenv("BENCH_SKIP_INGEST"):
+        try:
+            repo = os.path.dirname(os.path.abspath(__file__))
+            corpus_path = "/tmp/corpus40k.jsonl"
+            if not os.path.isfile(corpus_path):
+                subprocess.run(
+                    [sys.executable,
+                     os.path.join(repo, "scripts", "make_corpus.py"),
+                     "--out", corpus_path],
+                    capture_output=True, timeout=900)
+            texts = []
+            with open(corpus_path, encoding="utf-8") as f:
+                for line in f:
+                    body = json.loads(line).get("body", "")
+                    if body.strip():
+                        texts.append(body[:2000])
+                    if len(texts) >= 40_000:
+                        break
+            from tpu_rag.models.biencoder import BiEncoder
+
+            enc_i = BiEncoder("sentence-transformers/all-MiniLM-L6-v2",
+                              seq_len=256, batch=256)
+            # warm every length bucket with a length-spread sample
+            enc_i.embed(texts[:: max(1, len(texts) // 512)][:512])
+            t0 = time.perf_counter()
+            enc_i.embed(texts)
+            dt = time.perf_counter() - t0
+
+            # padded-token accounting mirrors embed()'s bucketization
+            tok_lens = [min(len(enc_i.tokenizer.tokenize_ids(t)),
+                            enc_i.seq_len - 2) + 2 for t in texts]
+            order = sorted(range(len(texts)), key=lambda i: tok_lens[i])
+            padded_tokens = 0
+            real_tokens = sum(tok_lens)
+            i = 0
+            while i < len(order):
+                rows = order[i:i + enc_i.batch]
+                bsz = enc_i._bucket(len(rows))
+                tb = enc_i._seq_bucket(max(tok_lens[j] for j in rows))
+                padded_tokens += bsz * tb
+                i += len(rows)
+            sp = enc_i.spec
+            # matmul FLOPs/token/layer = 2*(4H^2 + 2HF); attention scores
+            # add 4*t*H per token per layer (t = bucket seq len, folded in
+            # via the padded-token average)
+            avg_t = padded_tokens / max(len(texts), 1)
+            flops_per_token = sp.layers * (
+                2 * (4 * sp.hidden ** 2 + 2 * sp.hidden * sp.ffn)
+                + 4 * avg_t * sp.hidden)
+            total_flops = flops_per_token * padded_tokens
+            peak = 197e12 if backend == "tpu" else 197e12
+            encoder_ingest = {
+                "corpus_docs": len(texts),
+                "texts_per_s": round(len(texts) / dt, 1),
+                "real_tokens_per_s": round(real_tokens / dt, 1),
+                "padded_tokens_per_s": round(padded_tokens / dt, 1),
+                "padding_overhead": round(padded_tokens / max(real_tokens, 1), 2),
+                "mfu": round(total_flops / dt / peak, 4),
+                "peak_tflops_assumed": 197,
+                "upload_bytes_per_text": round(
+                    2 * padded_tokens / max(len(texts), 1), 1),  # int16 ids
+                "readback_bytes_per_text": 4 * enc_i.dim,
+            }
+        except Exception as e:
+            encoder_ingest = {"error": str(e)[:200]}
+
     # ---------------- 10M-row scale point (BASELINE config #4 scale): data
     # generated ON DEVICE (host->device of GBs is ~MB/s on tunneled setups),
     # exact + bucketed Pallas paths, small iteration count.  Fully fenced:
@@ -664,6 +734,7 @@ def main() -> None:
         "paths_recall": {p: round(v[1], 4) for p, v in results.items()},
         "scale_10m": scale_10m,  # on-device-generated 10M-row scale point
         "bundled_demo": bundled,  # checked-in examples/store vs C++ HNSW (config #1)
+        "encoder_ingest": encoder_ingest,  # 40K-corpus embed throughput + MFU
         "corpus": {"n": n, "dim": d, "dtype": "bfloat16", "k": k, "query_batch": qbatch},
     }))
 

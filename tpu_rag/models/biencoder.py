@@ -162,6 +162,40 @@ class BiEncoder:
             self._jit_cache[(b, t)] = fn
         return fn
 
+    def _forward_ids_fn(self, b: int, t: int):
+        """Jitted forward taking ids only (any int dtype): the attention
+        mask is `ids != pad_id` on device — exact, because no real token id
+        ever equals pad_id (specials are reserved below N_SPECIAL for the
+        hash tokenizer; vocab files map tokens injectively)."""
+        fn = self._jit_cache.get(("ids", b, t))
+        if fn is None:
+            from tpu_rag.models.tokenizer import _special_ids
+
+            module = self.module
+            pad_id = _special_ids(self.tokenizer)[2]
+
+            def fwd_impl(params, ids):
+                ids32 = ids.astype(jnp.int32)
+                mask = (ids32 != pad_id).astype(jnp.int32)
+                hidden = module.apply({"params": params}, ids32, mask)
+                pooled = mean_pool(hidden, mask)
+                return l2_normalize(pooled.astype(jnp.float32))
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch_axis = "data" if self.mesh.shape.get("data", 1) > 1 else None
+                shard = NamedSharding(self.mesh, P(batch_axis, None))
+                fn = jax.jit(
+                    fwd_impl,
+                    in_shardings=(self._param_shardings, shard),
+                    out_shardings=shard,
+                )
+            else:
+                fn = jax.jit(fwd_impl)
+            self._jit_cache[("ids", b, t)] = fn
+        return fn
+
     def _bucket(self, n: int) -> int:
         unit = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         for b in (8, 16, 32):
@@ -183,36 +217,52 @@ class BiEncoder:
                 return t
         return self.seq_len
 
+    # in-flight dispatch depth for embed(): batch i+2 tokenizes and uploads
+    # while i is still executing/reading back, hiding host work and transfer
+    # latency behind device compute (the readback sync is per-drain, not
+    # per-batch)
+    EMBED_PIPELINE_DEPTH = 3
+
     def embed(self, texts: list[str]) -> np.ndarray:
         """Batched embed: returns (len(texts), dim) float32, L2-normalized.
 
         Texts are tokenized once, sorted by token length, and batched into
         per-batch sequence-length buckets (jit cache is keyed per (batch,
-        seq) shape, so each bucket compiles once)."""
+        seq) shape, so each bucket compiles once).  Uploads are int16 ids
+        only (the attention mask is derived on device from pad positions —
+        ~4x fewer host->device bytes than int32 ids+mask), and dispatches
+        are pipelined EMBED_PIPELINE_DEPTH deep."""
         if not texts:
             return np.zeros((0, self.dim), np.float32)
         n = len(texts)
         from tpu_rag.models.tokenizer import _special_ids
 
         cls_id, sep_id, pad_id = _special_ids(self.tokenizer)
+        idt = np.int16 if self.spec.vocab_size < 2 ** 15 else np.int32
         toks = [self.tokenizer.tokenize_ids(t)[: self.seq_len - 2] for t in texts]
         order = sorted(range(n), key=lambda i: len(toks[i]))
         out = np.zeros((n, self.dim), np.float32)
+        pending: list[tuple[list[int], Any]] = []
+
+        def drain(target: int) -> None:
+            while len(pending) > target:
+                rows_done, emb_dev = pending.pop(0)
+                out[rows_done] = np.asarray(emb_dev)[: len(rows_done)]
+
         i = 0
         while i < n:
             rows = order[i : i + self.batch]
             b = self._bucket(len(rows))
             t = self._seq_bucket(max(len(toks[j]) for j in rows) + 2)
-            ids = np.full((b, t), pad_id, np.int32)
-            mask = np.zeros((b, t), np.int32)
+            ids = np.full((b, t), pad_id, idt)
             for r, j in enumerate(rows):
                 row = [cls_id] + toks[j] + [sep_id]
                 ids[r, : len(row)] = row
-                mask[r, : len(row)] = 1
-            fn = self._forward_fn(b, t)
-            emb = np.asarray(fn(self.params, jnp.asarray(ids), jnp.asarray(mask)))
-            out[rows] = emb[: len(rows)]
+            fn = self._forward_ids_fn(b, t)
+            pending.append((rows, fn(self.params, jnp.asarray(ids))))
+            drain(self.EMBED_PIPELINE_DEPTH - 1)
             i += len(rows)
+        drain(0)
         return out
 
     def embed_one(self, text: str) -> np.ndarray:
