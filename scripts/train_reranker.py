@@ -86,6 +86,16 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=150)
     ap.add_argument("--hard-k", type=int, default=8,
                     help="bi-encoder top-k (non-target) mined as hard negatives")
+    ap.add_argument("--mine-rounds", type=int, default=1,
+                    help=">1 = iterative mining: after each round the CURRENT "
+                         "cross-encoder re-scores each train query's bi-mined "
+                         "candidate pool and its top-scoring non-targets "
+                         "become the active hard negatives (the CE trains "
+                         "against its own current mistakes)")
+    ap.add_argument("--mine-pool", type=int, default=32,
+                    help="bi-encoder candidate pool size the CE re-mines from")
+    ap.add_argument("--mine-queries", type=int, default=8000,
+                    help="train queries re-mined per round (rotating subset)")
     ap.add_argument("--neg-per-pos", type=int, default=3,
                     help="negatives per positive in each batch")
     ap.add_argument("--cand-k", type=int, default=20,
@@ -181,13 +191,20 @@ def main() -> None:
         tpos = np.array([id_pos[d["id"]] for d in train_docs])
         demb_train = demb[tpos]
         tq = bi.embed([d["query"] for d in train_docs])
-        hard: list[np.ndarray] = []
+        pool_k = max(args.hard_k, args.mine_pool if args.mine_rounds > 1
+                     else args.hard_k)
+        hard_pool: list[np.ndarray] = []
         for i in range(0, len(train_docs), 512):
             scores = tq[i:i + 512] @ demb_train.T
-            top = np.argpartition(-scores, args.hard_k + 1, axis=1)[:, : args.hard_k + 1]
+            top = np.argpartition(-scores, pool_k + 1, axis=1)[:, : pool_k + 1]
+            srt = np.argsort(-np.take_along_axis(scores, top, axis=1), axis=1)
+            top = np.take_along_axis(top, srt, axis=1)
             for r, target in zip(top, tpos[i:i + 512]):
                 cand = tpos[r]
-                hard.append(cand[cand != target][: args.hard_k])
+                hard_pool.append(cand[cand != target][:pool_k])
+        # active negatives start as the bi-encoder's top hard_k; iterative
+        # rounds replace them with the CE's own hardest (see remine below)
+        hard: list[np.ndarray] = [hp[: args.hard_k] for hp in hard_pool]
 
         print(f"[3/4] ranking training: {args.steps} steps x {args.batch} pairs "
               f"(groups of 1 pos + {args.neg_per_pos} negs) ...", flush=True)
@@ -261,13 +278,62 @@ def main() -> None:
             ids, mask, types = assemble_pairs(rows, args.seq_len)
             return (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
 
+        score_fn = jax.jit(
+            lambda p, ids, mask, types: module.apply(
+                {"params": p}, ids, mask, types))
+
+        def remine(params, rnd: int) -> None:
+            """Iterative mining: CE-score each selected train query's
+            bi-mined candidate pool with the CURRENT checkpoint; its
+            top-scoring non-targets become the active negatives — the pairs
+            the CE itself currently confuses with the positive."""
+            n_sel = min(args.mine_queries, len(train_docs))
+            start = (rnd * n_sel) % len(train_docs)
+            sel = [(start + j) % len(train_docs) for j in range(n_sel)]
+            meta: list[tuple[int, int, int]] = []
+            for i in sel:
+                gq = id_pos[train_docs[i]["id"]]
+                for c in hard_pool[i]:
+                    meta.append((i, gq, int(c)))
+            scores = np.empty(len(meta), np.float32)
+            B = 512
+            for off in range(0, len(meta), B):
+                chunk = meta[off:off + B]
+                rows = [pair_rows(gq, c, args.seq_len) for (_, gq, c) in chunk]
+                while len(rows) < B:  # fixed jit shape
+                    rows.append(rows[-1])
+                ids, mask, types = assemble_pairs(rows, args.seq_len)
+                out = np.asarray(score_fn(params, jnp.asarray(ids),
+                                          jnp.asarray(mask),
+                                          jnp.asarray(types)))
+                scores[off:off + len(chunk)] = out.reshape(-1)[: len(chunk)]
+            ptr = 0
+            for i in sel:
+                m = len(hard_pool[i])
+                sc = scores[ptr:ptr + m]
+                ptr += m
+                hard[i] = hard_pool[i][
+                    np.argsort(-sc, kind="stable")[: args.hard_k]]
+
         t0 = time.time()
-        for step in range(args.steps):
-            ids, mask, types = sample_batch()
-            params, opt_state, loss = step_fn(params, opt_state, ids, mask, types)
-            if step % 100 == 0 or step == args.steps - 1:
-                print(f"  step {step:5d}  loss {float(loss):.4f}  "
-                      f"({time.time() - t0:.0f}s)", flush=True)
+        rounds = max(1, args.mine_rounds)
+        bounds = [args.steps * (r + 1) // rounds for r in range(rounds)]
+        step = 0
+        for rnd in range(rounds):
+            while step < bounds[rnd]:
+                ids, mask, types = sample_batch()
+                params, opt_state, loss = step_fn(params, opt_state, ids, mask, types)
+                if step % 100 == 0 or step == args.steps - 1:
+                    print(f"  step {step:5d}  loss {float(loss):.4f}  "
+                          f"({time.time() - t0:.0f}s)", flush=True)
+                step += 1
+            if rnd < rounds - 1:
+                tm = time.time()
+                remine(params, rnd)
+                print(f"  [mine round {rnd + 1}] re-mined "
+                      f"{min(args.mine_queries, len(train_docs))} queries "
+                      f"with the current CE ({time.time() - tm:.0f}s)",
+                      flush=True)
 
         import orbax.checkpoint as ocp
 

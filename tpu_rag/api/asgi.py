@@ -116,6 +116,8 @@ class _Route:
         if ann is not None and hasattr(ann, "model_validate"):
             self.body_model = ann
         self._params = set(sig.parameters)
+        self.metric_name = "http_" + method.lower() + "_" + (
+            "_".join(s.strip("{}") for s in self.segments) or "root")
 
     def match(self, method: str, path: str) -> dict[str, str] | None:
         if method != self.method:
@@ -137,6 +139,9 @@ class App:
 
     def __init__(self, auth: Callable[[Request], None] | None = None) -> None:
         self.routes: list[_Route] = []
+        # O(1) dispatch for parameterless paths — the linear match() scan is
+        # measurable per-request CPU at production request rates
+        self._exact: dict[tuple[str, str], _Route] = {}
         self.static_mounts: list[tuple[str, Path]] = []
         self.auth = auth
         from tpu_rag.utils.metrics import GLOBAL_METRICS
@@ -147,7 +152,11 @@ class App:
     def route(self, path: str, *, methods: list[str] = ("GET",), public: bool = False):
         def deco(fn):
             for m in methods:
-                self.routes.append(_Route(m.upper(), path, fn, public))
+                r = _Route(m.upper(), path, fn, public)
+                self.routes.append(r)
+                if "{" not in path:
+                    norm = "/" + "/".join(r.segments)
+                    self._exact[(r.method, norm)] = r
             return fn
         return deco
 
@@ -215,11 +224,29 @@ class App:
             return result
         return Response(result)
 
+    def _dispatch(self, route: _Route, request: Request) -> Response:
+        name = route.metric_name
+        self.metrics.inc(name + "_total")
+        with self.metrics.timed(name):
+            response = self._run_handler(route, request)
+        if response.status_code >= 500:
+            self.metrics.inc("http_errors_5xx_total")
+        elif response.status_code >= 400:
+            self.metrics.inc("http_errors_4xx_total")
+        return response
+
     def handle(self, request: Request) -> Response:
         """Synchronous dispatch (used by the ASGI glue and directly by tests)."""
         try:
             if request.method == "OPTIONS":
                 return Response(b"", 200)
+            # exact-path fast lane (every hot API route is parameterless)
+            norm = "/" + "/".join(
+                s for s in request.path.split("/") if s != "")
+            route = self._exact.get((request.method, norm))
+            if route is not None:
+                request.path_params = {}
+                return self._dispatch(route, request)
             static = self._static_response(request.path)
             if static is not None:
                 return static
@@ -228,16 +255,7 @@ class App:
                 if params is None:
                     continue
                 request.path_params = params
-                name = "http_" + request.method.lower() + "_" + (
-                    "_".join(s.strip("{}") for s in route.segments) or "root")
-                self.metrics.inc(name + "_total")
-                with self.metrics.timed(name):
-                    response = self._run_handler(route, request)
-                if response.status_code >= 500:
-                    self.metrics.inc("http_errors_5xx_total")
-                elif response.status_code >= 400:
-                    self.metrics.inc("http_errors_4xx_total")
-                return response
+                return self._dispatch(route, request)
             return Response({"detail": "not found"}, 404)
         except HTTPException as e:
             self.metrics.inc("http_errors_4xx_total" if e.status_code < 500
