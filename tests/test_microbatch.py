@@ -148,3 +148,43 @@ def test_engine_microbatch_failure_degrades_to_empty(tmp_path):
     assert eng.query_vector("never seen query", 3, None, None) == []
     enc.embed = enc_embed
     assert len(eng.query_vector("alpha beta", 3, None, None)) == 3
+
+
+def test_microbatcher_multiple_workers_all_items_served():
+    """workers=2 keeps two windows in flight; every submit still gets its
+    own result exactly once, and window sizes are recorded as a histogram."""
+    import threading
+    import time as _t
+
+    from tpu_rag.utils.metrics import GLOBAL_METRICS
+    from tpu_rag.utils.microbatch import MicroBatcher
+
+    in_flight = [0]
+    peak = [0]
+    lock = threading.Lock()
+
+    def run_batch(items):
+        with lock:
+            in_flight[0] += 1
+            peak[0] = max(peak[0], in_flight[0])
+        _t.sleep(0.02)  # simulate a device call
+        with lock:
+            in_flight[0] -= 1
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(run_batch, max_batch=8, name="mb2test", workers=2)
+    results = {}
+
+    def submit(i):
+        results[i] = mb.submit(i)
+
+    ths = [threading.Thread(target=submit, args=(i,)) for i in range(64)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert results == {i: i * 10 for i in range(64)}
+    assert peak[0] == 2  # both workers ran windows concurrently
+    hist = {k: v for k, v in GLOBAL_METRICS._counters.items()
+            if k.startswith("mb2test_window_le_")}
+    assert sum(hist.values()) >= 8  # 64 items / max_batch 8
