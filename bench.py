@@ -461,6 +461,58 @@ def main() -> None:
         except Exception as e:
             encoder_ingest = {"error": str(e)[:200]}
 
+    # ---------------- bundled demo store (BASELINE config #1 parity object:
+    # the reference ships a prebuilt vector_store/): load the checked-in
+    # examples/store, search it on TPU, and race the C++ HNSW baseline on
+    # the SAME stored vectors.  Queries are noisy copies of stored rows;
+    # ground truth is f32 brute force.
+    bundled = None
+    try:
+        from tpu_rag.index import load_index
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        store = os.path.join(repo, "examples", "store", "gamefantasy")
+        if os.path.isdir(store):
+            bidx = load_index(store, use_pallas=use_pallas)
+            st = bidx.state()
+            bx = np.asarray(st["vectors"], np.float32)
+            bn_rows = bx.shape[0]
+            brng = np.random.default_rng(1)
+            bq = bx[brng.integers(0, bn_rows, 64)] + \
+                0.2 * brng.standard_normal((64, bx.shape[1])).astype(np.float32)
+            bq /= np.linalg.norm(bq, axis=1, keepdims=True)
+            bs = bq @ bx.T
+            btruth = np.argsort(-bs, axis=1)[:, :k]
+            bidx.search(bq, k)  # warm/compile
+            t0 = time.perf_counter()
+            for _ in range(20):
+                bres = bidx.search(bq, k)
+            bqps = 64 * 20 / (time.perf_counter() - t0)
+            brecall = float(np.mean([
+                len(set(bres.rows[i]) & set(btruth[i])) / k for i in range(64)]))
+            bundled = {"n": int(bn_rows), "dim": int(bx.shape[1]),
+                       "qps_tpu": round(bqps, 1),
+                       "recall_at_10_tpu": round(brecall, 4)}
+            try:
+                from tpu_rag.baseline import CpuHnswIndex
+
+                bh = CpuHnswIndex(bx.shape[1], bn_rows, m=16, ef_construction=100)
+                t0 = time.perf_counter()
+                bh.add(bx)
+                bundled["hnsw_build_s"] = round(time.perf_counter() - t0, 2)
+                bh.search(bq, k, ef=64)
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    bids, _ = bh.search(bq, k, ef=64)
+                bundled["qps_hnsw_cpu"] = round(64 * 20 / (time.perf_counter() - t0), 1)
+                bundled["recall_at_10_hnsw"] = round(float(np.mean([
+                    len(set(bids[i]) & set(btruth[i])) / k for i in range(64)])), 4)
+            except Exception as e:
+                bundled["hnsw_error"] = str(e)[:120]
+    except Exception as e:
+        bundled = {"error": str(e)[:200]}
+
+
     # ---------------- 10M-row scale point (BASELINE config #4 scale): data
     # generated ON DEVICE (host->device of GBs is ~MB/s on tunneled setups),
     # exact + bucketed Pallas paths, small iteration count.  Fully fenced:
@@ -523,7 +575,9 @@ def main() -> None:
             r_bucketed, ids_gt_bf16 = _measure10("bucketed", x10)
             r_exact, _ = _measure10("exact", x10)
             bn_sweep = []
-            for bn_try in (4096, 8192, 16384, 32768):
+            for bn_try in (bn, 2 * bn, 4 * bn):
+                if n10_pad % bn_try:
+                    continue  # corpus padded to multiples of the base tile
                 if bn_try == bn:
                     bn_sweep.append({"block_n": bn_try,
                                      "gbps": r_bucketed["gbps"]})
@@ -551,6 +605,10 @@ def main() -> None:
             xq8 = jnp.concatenate(q_parts, axis=0)
             sq8 = jnp.concatenate(s_parts, axis=0)
             del q_parts, s_parts
+            # the bf16 corpus (7.7 GB) is no longer needed — free it before
+            # the int8/IVF sections (the 16 GB chip can't hold bf16 + int8 +
+            # the padded IVF lists at once)
+            del x10
             r_int8_bucketed, _ = _measure10("bucketed", xq8, scales=sq8,
                                             bytes_per=1)
             r_int8_exact, ids_gt_int8 = _measure10("exact", xq8, scales=sq8,
@@ -594,47 +652,56 @@ def main() -> None:
                 nstag_l = jnp.where(row_l >= 0, 0, PAD_TAG).astype(jnp.int32)
                 build_s = time.perf_counter() - t_build0
                 del assign, fits
-                gt = [set(r[r >= 0][:k].tolist()) for r in ids_gt_int8]
+                # a 32-query batch bounds the XLA probe's gathered-candidate
+                # materialization ((Q, nprobe, cap, d) f32); the pallas probe
+                # streams lists through VMEM so it also covers high nprobe
+                qj32 = qj[:32]
+                qb32 = 32
+                gt = [set(r[r >= 0][:k].tolist()) for r in ids_gt_int8[:qb32]]
                 w2 = jnp.array([-1, -1], jnp.int32)
 
                 def _probe_qps(probe_fn, nprobe):
                     fn = jax.jit(lambda q: probe_fn(
                         q, centroids10, vec_l, scale_l, nstag_l, nstag_l,
                         row_l, w2, nprobe=nprobe, k=k))
-                    sc_p, rows_p = fn(qj)
+                    sc_p, rows_p = fn(qj32)
                     np.asarray(sc_p)
                     t0 = time.perf_counter()
                     for _ in range(10):
-                        sc_p, rows_p = fn(qj)
+                        sc_p, rows_p = fn(qj32)
                     np.asarray(sc_p)
                     dt = (time.perf_counter() - t0) / 10
                     rows_np = np.asarray(rows_p)
                     rec = float(np.mean([
                         len(set(rows_np[i][rows_np[i] >= 0].tolist()) & gt[i])
-                        / max(len(gt[i]), 1) for i in range(qbatch)]))
+                        / max(len(gt[i]), 1) for i in range(qb32)]))
                     return {"nprobe": nprobe,
                             "ms_per_batch": round(dt * 1e3, 2),
-                            "qps": round(qbatch / dt, 1),
+                            "qps": round(qb32 / dt, 1),
                             "recall_at_10": round(rec, 4)}
 
-                sweep = [_probe_qps(_probe_impl, p)
-                         for p in (1, 4, 8, 16, 32, 64)]
+                def _try(probe_fn, p):
+                    try:
+                        return _probe_qps(probe_fn, p)
+                    except Exception as e:
+                        return {"nprobe": p, "error": str(e)[:100]}
+
+                sweep_xla = [_try(_probe_impl, p) for p in (1, 4, 8, 16)]
+                pallas_fn = lambda *a, **kw: ivf_probe_pallas(
+                    *a, interpret=False, **kw)
+                sweep_pl = [_try(pallas_fn, p) for p in (1, 4, 8, 16, 32, 64)]
+                ok_rows = [s for s in sweep_pl if "recall_at_10" in s] or \
+                          [s for s in sweep_xla if "recall_at_10" in s]
                 # knee = smallest nprobe reaching >=0.95 recall
-                knee = next((s["nprobe"] for s in sweep
+                knee = next((s["nprobe"] for s in ok_rows
                              if s["recall_at_10"] >= 0.95),
-                            sweep[-1]["nprobe"])
-                try:
-                    pl = _probe_qps(
-                        lambda *a, **kw: ivf_probe_pallas(
-                            *a, interpret=False, **kw), knee)
-                    pl_row = {"nprobe": knee, **pl}
-                except Exception as e:
-                    pl_row = {"error": str(e)[:120]}
-                ivf_sec = {"nlist": nlist10, "cap": cap10,
+                            ok_rows[-1]["nprobe"] if ok_rows else None)
+                ivf_sec = {"nlist": nlist10, "cap": cap10, "qbatch": qb32,
                            "list_dtype": "int8", "spilled_rows": spilled,
                            "build_s": round(build_s, 1),
-                           "sweep_xla_probe": sweep, "knee_nprobe": knee,
-                           "pallas_probe_at_knee": pl_row}
+                           "sweep_xla_probe": sweep_xla,
+                           "sweep_pallas_probe": sweep_pl,
+                           "knee_nprobe": knee}
                 del vec_l, ns_l, row_l, scale_l, nstag_l
             except Exception as e:
                 ivf_sec = {"error": str(e)[:200]}
@@ -651,60 +718,9 @@ def main() -> None:
                 "ivf_int8": ivf_sec,
                 "hbm_peak_gbps": 819,  # v5e spec; fraction = gbps / this
             }
-            del x10, t10, xq8, sq8
+            del t10, xq8, sq8
         except Exception as e:
             scale_10m = {"error": str(e)[:200]}
-
-    # ---------------- bundled demo store (BASELINE config #1 parity object:
-    # the reference ships a prebuilt vector_store/): load the checked-in
-    # examples/store, search it on TPU, and race the C++ HNSW baseline on
-    # the SAME stored vectors.  Queries are noisy copies of stored rows;
-    # ground truth is f32 brute force.
-    bundled = None
-    try:
-        from tpu_rag.index import load_index
-
-        repo = os.path.dirname(os.path.abspath(__file__))
-        store = os.path.join(repo, "examples", "store", "gamefantasy")
-        if os.path.isdir(store):
-            bidx = load_index(store, use_pallas=use_pallas)
-            st = bidx.state()
-            bx = np.asarray(st["vectors"], np.float32)
-            bn_rows = bx.shape[0]
-            brng = np.random.default_rng(1)
-            bq = bx[brng.integers(0, bn_rows, 64)] + \
-                0.2 * brng.standard_normal((64, bx.shape[1])).astype(np.float32)
-            bq /= np.linalg.norm(bq, axis=1, keepdims=True)
-            bs = bq @ bx.T
-            btruth = np.argsort(-bs, axis=1)[:, :k]
-            bidx.search(bq, k)  # warm/compile
-            t0 = time.perf_counter()
-            for _ in range(20):
-                bres = bidx.search(bq, k)
-            bqps = 64 * 20 / (time.perf_counter() - t0)
-            brecall = float(np.mean([
-                len(set(bres.rows[i]) & set(btruth[i])) / k for i in range(64)]))
-            bundled = {"n": int(bn_rows), "dim": int(bx.shape[1]),
-                       "qps_tpu": round(bqps, 1),
-                       "recall_at_10_tpu": round(brecall, 4)}
-            try:
-                from tpu_rag.baseline import CpuHnswIndex
-
-                bh = CpuHnswIndex(bx.shape[1], bn_rows, m=16, ef_construction=100)
-                t0 = time.perf_counter()
-                bh.add(bx)
-                bundled["hnsw_build_s"] = round(time.perf_counter() - t0, 2)
-                bh.search(bq, k, ef=64)
-                t0 = time.perf_counter()
-                for _ in range(20):
-                    bids, _ = bh.search(bq, k, ef=64)
-                bundled["qps_hnsw_cpu"] = round(64 * 20 / (time.perf_counter() - t0), 1)
-                bundled["recall_at_10_hnsw"] = round(float(np.mean([
-                    len(set(bids[i]) & set(btruth[i])) / k for i in range(64)])), 4)
-            except Exception as e:
-                bundled["hnsw_error"] = str(e)[:120]
-    except Exception as e:
-        bundled = {"error": str(e)[:200]}
 
     # vs_baseline is the honest ratio: TPU exact search vs the CPU ANN
     # (HNSW) baseline; brute-force numpy is reported alongside for context.

@@ -161,13 +161,22 @@ def main() -> None:
     def pair_rows(qi: int, di: int, seq: int):
         """[CLS] query [SEP] body-crop [SEP] with segment ids.  The query is
         clamped so at least a few body tokens always fit (tiny --seq-len
-        values would otherwise produce rows longer than seq)."""
+        values would otherwise produce rows longer than seq).
+
+        Long bodies crop to the LEADING window 75% of the time — the policy
+        CrossEncoder.predict serves with — so train and serving score the
+        same view of a document (round-2's always-random crops created a
+        train/serve mismatch and noisy positives); the remaining 25% are
+        random crops for augmentation."""
         q = q_toks_all[qi][: max(1, seq - 8)]
         room = seq - len(q) - 3
         b = body_toks[di]
         if len(b) > room:
-            start = int(rng.integers(0, len(b) - room + 1))
-            b = b[start : start + room]
+            if rng.random() < 0.75:
+                b = b[:room]
+            else:
+                start = int(rng.integers(0, len(b) - room + 1))
+                b = b[start : start + room]
         ids = [cls_id] + q + [sep_id] + b + [sep_id]
         types = [0] * (len(q) + 2) + [1] * (len(b) + 1)
         return ids, types
@@ -393,8 +402,42 @@ def main() -> None:
     row, ce_scores = rerank_ranks(trained_ce, "trained_reranker")
     results.append(row)
     # production-style interpolation: z-normalize both score lists per query
-    # and sum — the cross-encoder contributes pair-interaction signal on top
-    # of the bi-encoder ordering instead of replacing it
+    # and blend alpha*CE + (1-alpha)*bi.  alpha is tuned on a VALIDATION
+    # slice carved from the TRAIN split (never the holdout), then applied
+    # once to the holdout — the tuned value ships as RERANK_ENSEMBLE_ALPHA.
+    val_docs = train_docs[-2000:]
+    vq = bi.embed([d["query"] for d in val_docs])
+    vtargets = np.array([id_pos[d["id"]] for d in val_docs])
+    vcand = np.empty((len(val_docs), args.cand_k), np.int64)
+    vcand_sc = np.empty((len(val_docs), args.cand_k), np.float32)
+    for i in range(0, len(val_docs), 256):
+        scores = vq[i:i + 256] @ demb.T
+        part = np.argpartition(-scores, args.cand_k, axis=1)[:, : args.cand_k]
+        order = np.argsort(-np.take_along_axis(scores, part, axis=1), axis=1)
+        vcand[i:i + 256] = np.take_along_axis(part, order, axis=1)
+        vcand_sc[i:i + 256] = np.take_along_axis(
+            np.take_along_axis(scores, part, axis=1), order, axis=1)
+    vpairs = [(d["query"], bodies[int(c)])
+              for i, d in enumerate(val_docs) for c in vcand[i]]
+    vce = trained_ce.predict(vpairs).reshape(len(val_docs), args.cand_k)
+
+    def _val_recall10(alpha: float) -> float:
+        blend = alpha * _znorm(vce) + (1 - alpha) * _znorm(vcand_sc)
+        hits = 0
+        for i in range(len(val_docs)):
+            rr = vcand[i][np.argsort(-blend[i], kind="stable")][:10]
+            hits += int(vtargets[i] in rr)
+        return hits / len(val_docs)
+
+    alphas = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7]
+    val_curve = {a: round(_val_recall10(a), 4) for a in alphas}
+    best_alpha = max(alphas, key=lambda a: val_curve[a])
+    print(f"  ensemble alpha tuning (val recall@10): {val_curve} "
+          f"-> alpha={best_alpha}", flush=True)
+    results.append(rank_metrics(
+        f"ensemble_bi+trained_ce(alpha={best_alpha})",
+        _ranks_from(best_alpha * _znorm(ce_scores)
+                    + (1 - best_alpha) * _znorm(cand_sc))))
     results.append(rank_metrics("ensemble_bi+trained_ce",
                                 _ranks_from(_znorm(cand_sc) + _znorm(ce_scores))))
     random_ce = CrossEncoder("minilm-l6-rerank", tokenizer_path=vocab_path,
@@ -406,8 +449,11 @@ def main() -> None:
                 "docstring summary -> body retrieval",
         "corpus_docs": len(docs), "holdout_queries": len(holdout),
         "train_steps": args.steps, "batch_pairs": args.batch,
-        "hard_negatives": args.hard_k, "results": results,
-        "serving": {"RERANK_WEIGHTS": ckpt_path, "TOKENIZER_PATH": vocab_path},
+        "hard_negatives": args.hard_k, "mine_rounds": args.mine_rounds,
+        "ensemble_alpha": best_alpha, "ensemble_alpha_val_curve": val_curve,
+        "results": results,
+        "serving": {"RERANK_WEIGHTS": ckpt_path, "TOKENIZER_PATH": vocab_path,
+                    "RERANK_ENSEMBLE_ALPHA": best_alpha},
     }
     with open(os.path.join(args.out, "rerank.json"), "w") as f:
         json.dump(report, f, indent=2)

@@ -46,6 +46,9 @@ class Config:
     rerank_mode: str = "replace"        # replace (reference parity) | ensemble
                                         # (z-score blend of retriever + CE —
                                         # measured better, docs/QUALITY.md)
+    rerank_ensemble_alpha: float = 0.5  # CE weight in the ensemble blend
+                                        # (tuned on a val split by
+                                        # scripts/train_reranker.py)
     # Local weight/tokenizer paths; when absent the framework falls back to
     # deterministic seeded weights + the first-party hashing tokenizer.
     embedding_weights: str = ""         # dir with HF checkpoint or orbax ckpt
@@ -142,6 +145,8 @@ def config_from_env(dotenv: str | None = None) -> Config:
         embedding_model=env_str("EMBEDDING_MODEL", d.embedding_model),
         rerank_model=env_str("RERANK_MODEL", d.rerank_model),
         rerank_mode=env_str("RERANK_MODE", d.rerank_mode),
+        rerank_ensemble_alpha=env_float("RERANK_ENSEMBLE_ALPHA",
+                                        d.rerank_ensemble_alpha),
         embedding_weights=env_str("EMBEDDING_WEIGHTS", d.embedding_weights),
         rerank_weights=env_str("RERANK_WEIGHTS", d.rerank_weights),
         tokenizer_path=env_str("TOKENIZER_PATH", d.tokenizer_path),

@@ -409,7 +409,8 @@ class RagEngine:
 
     def rerank(self, query: str, hits: list[dict]) -> list[dict]:
         return rerank_hits(self.get_cross_encoder(), query, hits,
-                           mode=self.config.rerank_mode)
+                           mode=self.config.rerank_mode,
+                           alpha=self.config.rerank_ensemble_alpha)
 
     def recency_mix(self, hits: list[dict]) -> list[dict]:
         return mix_with_recency(hits, alpha=self.config.recency_alpha,

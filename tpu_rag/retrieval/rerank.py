@@ -27,7 +27,7 @@ def _znorm(vals: list[float]) -> list[float]:
 
 
 def rerank_hits(cross_encoder, query: str, hits: list[dict],
-                mode: str = "replace") -> list[dict]:
+                mode: str = "replace", alpha: float = 0.5) -> list[dict]:
     if not hits or cross_encoder is None:
         return hits
     try:
@@ -57,7 +57,11 @@ def rerank_hits(cross_encoder, query: str, hits: list[dict],
             z = _znorm([-float(hits[i].get("score", 0.0)) for i in idxs])
             for i, v in zip(idxs, z):
                 base[i] = v
-        blend = [b + c for b, c in zip(base, _znorm(scores))]
+        # alpha weights the CE against the retriever (0.5 = equal; the
+        # training harness tunes it on a validation split and ships it as
+        # RERANK_ENSEMBLE_ALPHA — scripts/train_reranker.py)
+        a = min(max(float(alpha), 0.0), 1.0)
+        blend = [(1.0 - a) * b + a * c for b, c in zip(base, _znorm(scores))]
         for h, m in zip(hits, blend):
             h["ensemble_score"] = float(m)
         hits.sort(key=lambda x: x.get("ensemble_score", 0.0), reverse=True)
