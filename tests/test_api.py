@@ -469,3 +469,53 @@ def test_search_fts_docs_flag(tmp_path):
         assert h["score_kind"] == "bm25"
     ids = [h["id"] for h in hits]
     assert len(ids) == len(set(ids))  # no dupes between vector and docs-FTS
+
+
+def test_search_rerank_candidates_depth(tmp_path):
+    """RERANK_CANDIDATES extension: when a /search asks to rerank, retrieve
+    that many vector candidates for the cross-encoder (recall@k after rerank
+    is ceilinged by retrieval recall@depth), then truncate back to k.  With
+    the knob unset the reranker sees only what /search would return
+    (reference parity)."""
+    def build(cands):
+        cfg = Config(
+            persist_dir=str(tmp_path / f"vs{cands}"),
+            kb_db_path=str(tmp_path / f"db{cands}/kb.sqlite3"),
+            db_path=str(tmp_path / f"db{cands}/app.sqlite3"),
+            docs_dir=str(tmp_path / f"docs{cands}"),
+            index_dtype="float32",
+            use_pallas=False,
+            summarize_mode="off",
+            rerank_candidates=cands,
+        )
+        engine = RagEngine(cfg, encoder=FakeEncoder(),
+                           cross_encoder=FakeCrossEncoder(),
+                           dispatcher=ScriptedDispatcher(ScriptedBackend()))
+        app = create_app(engine=engine)
+        client = TestClient(app)
+        for i in range(40):
+            client.post("/docs/save", json={
+                "title": f"d{i}", "content": f"topic shard number alpha{i}"})
+        import time as _t
+        for _ in range(100):
+            if engine.index.count() >= 40:
+                break
+            _t.sleep(0.05)
+        seen = []
+        orig = engine.rerank
+        engine.rerank = lambda q, hits: seen.append(len(hits)) or orig(q, hits)
+        return engine, client, seen
+
+    engine, client, seen = build(30)
+    r = client.post("/search", json={"query": "topic shard", "k": 3,
+                                     "rerank": True})
+    assert r.status_code == 200 and r.json()["reranked"]
+    assert len(r.json()["hits"]) == 3          # truncated to the response k
+    assert seen and seen[0] >= 30              # CE saw the deep candidates
+
+    # knob off -> parity: reranker sees vector k + FTS k//2 at most
+    engine0, client0, seen0 = build(0)
+    r = client0.post("/search", json={"query": "topic shard", "k": 3,
+                                      "rerank": True})
+    assert r.status_code == 200
+    assert seen0 and seen0[0] <= 4

@@ -230,18 +230,27 @@ def register(app: App, engine: RagEngine) -> None:
     @app.post("/search")
     def search(body: SearchRequest):
         timings = StageTimings()
+        # RERANK_CANDIDATES extension: retrieve deeper for the cross-encoder
+        # (assemble() truncates back to body.k after reranking)
+        k_ret, k_cap = body.k, 20
+        if body.rerank and cfg.rerank_candidates:
+            from tpu_rag.retrieval.hybrid import clamp_k
+
+            k_ret = max(clamp_k(body.k), cfg.rerank_candidates)
+            k_cap = k_ret
         if body.queries:
             # batched extension: one encoder/kernel pass for all queries
             with timings.stage("embed+vector_search"):
                 batch_hits = engine.query_vector_batch(
-                    body.queries, body.k, body.namespace, body.canonicality)
+                    body.queries, k_ret, body.namespace, body.canonicality,
+                    k_cap=k_cap)
             results = [assemble(q, hits, body, timings)
                        for q, hits in zip(body.queries, batch_hits)]
             return {"results": results, "source": "chroma+db",
                     "timings_ms": timings.as_dict()}
 
-        hits = engine.query_vector(body.query, body.k, body.namespace,
-                                   body.canonicality, timings)
+        hits = engine.query_vector(body.query, k_ret, body.namespace,
+                                   body.canonicality, timings, k_cap=k_cap)
         out = assemble(body.query, hits, body, timings)
         out["timings_ms"] = timings.as_dict()
         return out

@@ -49,6 +49,14 @@ class Config:
     rerank_ensemble_alpha: float = 0.5  # CE weight in the ensemble blend
                                         # (tuned on a val split by
                                         # scripts/train_reranker.py)
+    rerank_candidates: int = 0          # extension: when > response k and a
+                                        # /search asks to rerank, retrieve
+                                        # this many vector candidates for the
+                                        # cross-encoder, then truncate to k
+                                        # (recall@k after rerank is ceilinged
+                                        # by retrieval recall@depth); 0 = off
+                                        # (parity: rerank exactly what /search
+                                        # would return)
     # Local weight/tokenizer paths; when absent the framework falls back to
     # deterministic seeded weights + the first-party hashing tokenizer.
     embedding_weights: str = ""         # dir with HF checkpoint or orbax ckpt
@@ -147,6 +155,8 @@ def config_from_env(dotenv: str | None = None) -> Config:
         rerank_mode=env_str("RERANK_MODE", d.rerank_mode),
         rerank_ensemble_alpha=env_float("RERANK_ENSEMBLE_ALPHA",
                                         d.rerank_ensemble_alpha),
+        rerank_candidates=max(0, min(env_int("RERANK_CANDIDATES",
+                                             d.rerank_candidates), 256)),
         embedding_weights=env_str("EMBEDDING_WEIGHTS", d.embedding_weights),
         rerank_weights=env_str("RERANK_WEIGHTS", d.rerank_weights),
         tokenizer_path=env_str("TOKENIZER_PATH", d.tokenizer_path),

@@ -206,7 +206,8 @@ class RagEngine:
     def _fused_vector_hits_batch(self, texts: list[str], k: int,
                                  namespace: str | None,
                                  canonicality: str | None,
-                                 cache_qv: bool = True
+                                 cache_qv: bool = True,
+                                 k_cap: int = 20,
                                  ) -> list[list[dict]] | None:
         """One-dispatch embed+search (FlatIndex.search_fused): the encoder
         forward and the top-k scan compile into a single executable, halving
@@ -246,7 +247,7 @@ class RagEngine:
                         texts, batch=enc._bucket(len(texts)))
             from tpu_rag.retrieval.hybrid import clamp_k
 
-            kk = clamp_k(k)
+            kk = clamp_k(k, k_cap)
             with GLOBAL_METRICS.timed("search_stage_device"):
                 out = self.index.search_fused(
                     fwd, fkey, enc.params, ids, mask, len(texts), kk,
@@ -274,20 +275,26 @@ class RagEngine:
             return None
 
     def _fused_vector_hits(self, query: str, k: int, namespace: str | None,
-                           canonicality: str | None) -> list[dict] | None:
-        out = self._fused_vector_hits_batch([query], k, namespace, canonicality)
+                           canonicality: str | None,
+                           k_cap: int = 20) -> list[dict] | None:
+        out = self._fused_vector_hits_batch([query], k, namespace, canonicality,
+                                            k_cap=k_cap)
         return out[0] if out else None
 
     def query_vector(self, query: str, k: int, namespace: str | None,
-                     canonicality: str | None, timings: StageTimings | None = None) -> list[dict]:
+                     canonicality: str | None, timings: StageTimings | None = None,
+                     k_cap: int = 20) -> list[dict]:
         """Embed + index search shaped like the reference's _query_chroma
         (reference api/app.py:539-566); failures degrade to empty hits.
-        With microbatching on, concurrent calls fuse into one device pass."""
+        With microbatching on, concurrent calls fuse into one device pass.
+        k_cap > 20 lets the RERANK_CANDIDATES extension retrieve deeper than
+        the parity clamp (see hybrid.clamp_k)."""
         t = timings or StageTimings()
         try:
             if self._microbatcher is not None:
                 with t.stage("vector_search"):
-                    return self._microbatcher.submit((query, k, namespace, canonicality))
+                    return self._microbatcher.submit(
+                        (query, k, namespace, canonicality, k_cap))
             key = hashlib.md5(query.encode("utf-8")).hexdigest()
             qv = self._qvec_cached(key)
             if qv is None:
@@ -297,7 +304,8 @@ class RagEngine:
                 # contract for timings consumers (the cost is in
                 # vector_search by construction — it is one dispatch).
                 with t.stage("vector_search"):
-                    hits = self._fused_vector_hits(query, k, namespace, canonicality)
+                    hits = self._fused_vector_hits(query, k, namespace,
+                                                   canonicality, k_cap=k_cap)
                     if hits is not None:
                         t.stages.setdefault("embed", 0.0)
                         return hits
@@ -305,7 +313,8 @@ class RagEngine:
                     qv = self.embed([query])
                     self._qvec_store(key, qv)
             with t.stage("vector_search"):
-                return vector_hits(self.index, qv, k, namespace, canonicality)
+                return vector_hits(self.index, qv, k, namespace, canonicality,
+                                   cap=k_cap)
         except Exception as e:
             logger.warning("vector query failed: %s", e)
             return []
@@ -319,15 +328,16 @@ class RagEngine:
 
         from tpu_rag.retrieval.hybrid import vector_hits_batch
 
-        # whole-window fused path: one shared (k, ns, canon), all distinct
-        # cache misses -> ONE device dispatch for the entire window
-        if len({(k, ns, canon) for _, k, ns, canon in items}) == 1:
+        # whole-window fused path: one shared (k, ns, canon, cap), all
+        # distinct cache misses -> ONE device dispatch for the entire window
+        if len({tuple(rest) for _, *rest in items}) == 1:
             keys0 = [hashlib.md5(q.encode("utf-8")).hexdigest() for q, *_ in items]
             if (len(set(keys0)) == len(keys0)
                     and all(self._qvec_cached(kk) is None for kk in keys0)):
-                _, k1, ns1, canon1 = items[0]
+                _, k1, ns1, canon1, cap1 = items[0]
                 hits = self._fused_vector_hits_batch(
-                    [q for q, *_ in items], k1, ns1, canon1, cache_qv=False)
+                    [q for q, *_ in items], k1, ns1, canon1, cache_qv=False,
+                    k_cap=cap1)
                 if hits is not None:
                     return hits
 
@@ -349,17 +359,19 @@ class RagEngine:
                 self._qvec_store(key, v[None, :])
 
         groups: dict[tuple, list[int]] = {}
-        for i, (_, k, ns, canon) in enumerate(items):
-            groups.setdefault((k, ns, canon), []).append(i)
+        for i, (_, k, ns, canon, cap) in enumerate(items):
+            groups.setdefault((k, ns, canon, cap), []).append(i)
         results: list[list[dict]] = [[] for _ in items]
-        for (k, ns, canon), idxs in groups.items():
+        for (k, ns, canon, cap), idxs in groups.items():
             qmat = np.concatenate([np.atleast_2d(vecs[keys[i]]) for i in idxs], axis=0)
-            for i, hits in zip(idxs, vector_hits_batch(self.index, qmat, k, ns, canon)):
+            for i, hits in zip(idxs, vector_hits_batch(self.index, qmat, k, ns,
+                                                       canon, cap=cap)):
                 results[i] = hits
         return results
 
     def query_vector_batch(self, queries: list[str], k: int, namespace: str | None,
-                           canonicality: str | None) -> list[list[dict]]:
+                           canonicality: str | None,
+                           k_cap: int = 20) -> list[list[dict]]:
         """Batched embed + one kernel pass for all queries (extension: the
         reference had no batched retrieval). Returns per-query hit lists
         shaped like query_vector's.  Takes the fused single-dispatch path in
@@ -373,7 +385,8 @@ class RagEngine:
                 for i in range(0, len(queries), enc.batch):
                     chunk = queries[i:i + enc.batch]
                     hits = self._fused_vector_hits_batch(
-                        chunk, k, namespace, canonicality, cache_qv=False)
+                        chunk, k, namespace, canonicality, cache_qv=False,
+                        k_cap=k_cap)
                     if hits is None:
                         fused_ok = False
                         break
@@ -383,7 +396,8 @@ class RagEngine:
             qv = self.embed(queries)
             from tpu_rag.retrieval.hybrid import vector_hits_batch
 
-            return vector_hits_batch(self.index, qv, k, namespace, canonicality)
+            return vector_hits_batch(self.index, qv, k, namespace, canonicality,
+                                     cap=k_cap)
         except Exception as e:
             logger.warning("batched vector query failed: %s", e)
             return [[] for _ in queries]

@@ -19,11 +19,15 @@ from typing import Any
 META_TITLE_KEYWORDS = ("curator", "schema", "prompt手冊", "prompt 指南", "系統說明", "資料庫說明")
 
 
-def clamp_k(k) -> int:
+def clamp_k(k, cap: int = 20) -> int:
     """The reference's k clamp: default 5, bounded to 1..20
     (reference api/app.py:546).  Single source of truth for every
-    retrieval path (two-step, batched, fused)."""
-    return max(1, min(int(5 if k is None else k), 20))
+    retrieval path (two-step, batched, fused).
+
+    `cap` stays 20 for request-supplied k (parity); the RERANK_CANDIDATES
+    extension raises it so reranking can look deeper than the response k
+    (recall@k after rerank is ceilinged by retrieval recall@cap)."""
+    return max(1, min(int(5 if k is None else k), max(int(cap), 1)))
 
 
 def result_hits(res, qi: int = 0) -> list[dict]:
@@ -42,19 +46,19 @@ def result_hits(res, qi: int = 0) -> list[dict]:
 
 
 def vector_hits(index, query_vec, k: int, namespace: str | None,
-                canonicality: str | None) -> list[dict]:
+                canonicality: str | None, cap: int = 20) -> list[dict]:
     """Search the vector index and shape hits like the reference's
     _query_chroma (score = distance, rank from 1)."""
-    k = clamp_k(k)
+    k = clamp_k(k, cap)
     res = index.search(query_vec, k, namespace=namespace or None,
                        canonicality=canonicality or None)
     return result_hits(res, 0)
 
 
 def vector_hits_batch(index, query_vecs, k: int, namespace: str | None,
-                      canonicality: str | None) -> list[list[dict]]:
+                      canonicality: str | None, cap: int = 20) -> list[list[dict]]:
     """Batched variant of vector_hits: one index.search call for all queries."""
-    k = clamp_k(k)
+    k = clamp_k(k, cap)
     res = index.search(query_vecs, k, namespace=namespace or None,
                        canonicality=canonicality or None)
     return [result_hits(res, qi) for qi in range(len(res.ids))]
