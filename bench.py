@@ -386,8 +386,20 @@ def main() -> None:
                         / (e2e_p50_ms / 1e3), 1)
                 http_search_qps = http_search.get("qps")
                 http_search_failed = http_search.get("requests_failed")
+                # release the engine: the daemon server thread otherwise
+                # pins the 100K index + encoder on device through the 10M
+                # scale section (ResourceExhausted on the 16 GB chip)
+                srv.stop()
+                time.sleep(0.5)
             except Exception as e:
                 http_search = {"error": str(e)[:200]}
+            try:
+                eng.shutdown()
+            except Exception:
+                pass
+            del eng, idx
+            import gc
+            gc.collect()
     except Exception:
         pass
 
@@ -523,7 +535,10 @@ def main() -> None:
             import functools
 
             n10 = 10_000_000
-            n10_pad = -(-n10 // bn) * bn
+            # pad to a multiple of 4*bn = 21504 so the tile sweep (5376,
+            # 10752, 21504) divides evenly; 21504 is also 2x the bucketed
+            # default tile (10752, see default_block_n mode="bucketed")
+            n10_pad = -(-n10 // (4 * bn)) * (4 * bn)
             chunk = 1_000_000
 
             @functools.partial(jax.jit, static_argnames=("rows",))
@@ -552,7 +567,8 @@ def main() -> None:
 
             def _measure10(mode, xx, scales=None, bytes_per=2, bn_use=None,
                            kk=None):
-                bnu = bn_use or bn
+                # per-mode tile default (bucketed affords 2x-height tiles)
+                bnu = bn_use or default_block_n(d, bytes_per, 2 * bn, mode)
                 kk = kk or k
                 fn = jax.jit(lambda q, xd, t, w: fused_matmul_topk(
                     q, xd, kk, db_scales=scales, ns_tags=t, canon_tags=t,
@@ -575,10 +591,11 @@ def main() -> None:
             r_bucketed, ids_gt_bf16 = _measure10("bucketed", x10)
             r_exact, _ = _measure10("exact", x10)
             bn_sweep = []
+            bn10 = default_block_n(d, 2, 2 * bn, "bucketed")  # the default tile
             for bn_try in (bn, 2 * bn, 4 * bn):
                 if n10_pad % bn_try:
                     continue  # corpus padded to multiples of the base tile
-                if bn_try == bn:
+                if bn_try == bn10:
                     bn_sweep.append({"block_n": bn_try,
                                      "gbps": r_bucketed["gbps"]})
                     continue
@@ -597,14 +614,19 @@ def main() -> None:
             def _quant_chunk(xc):
                 return quantize_int8_rows(xc.astype(jnp.float32))
 
-            q_parts, s_parts = [], []
+            # quantize into preallocated DONATED buffers: a parts-list +
+            # concatenate transiently holds bf16 (7.7G) + parts (3.8G) +
+            # result (3.8G) on the 16 GB chip -> ResourceExhausted
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def _fill8(xq, sq, vals, scs, off):
+                return (jax.lax.dynamic_update_slice(xq, vals, (off, 0)),
+                        jax.lax.dynamic_update_slice(sq, scs, (off,)))
+
+            xq8 = jnp.zeros((n10_pad, d), jnp.int8)
+            sq8 = jnp.ones((n10_pad,), jnp.float32)
             for off in range(0, n10_pad, chunk):
                 vals, scs = _quant_chunk(x10[off:off + chunk])
-                q_parts.append(vals)
-                s_parts.append(scs)
-            xq8 = jnp.concatenate(q_parts, axis=0)
-            sq8 = jnp.concatenate(s_parts, axis=0)
-            del q_parts, s_parts
+                xq8, sq8 = _fill8(xq8, sq8, vals, scs, jnp.int32(off))
             # the bf16 corpus (7.7 GB) is no longer needed — free it before
             # the int8/IVF sections (the 16 GB chip can't hold bf16 + int8 +
             # the padded IVF lists at once)
@@ -661,14 +683,18 @@ def main() -> None:
                 w2 = jnp.array([-1, -1], jnp.int32)
 
                 def _probe_qps(probe_fn, nprobe):
-                    fn = jax.jit(lambda q: probe_fn(
-                        q, centroids10, vec_l, scale_l, nstag_l, nstag_l,
-                        row_l, w2, nprobe=nprobe, k=k))
-                    sc_p, rows_p = fn(qj32)
+                    # big arrays MUST be jit ARGUMENTS: a closure capture
+                    # embeds the ~4.8 GB int8 lists as XLA constants (one
+                    # extra HBM copy per compile -> ResourceExhausted)
+                    fn = jax.jit(functools.partial(probe_fn, nprobe=nprobe,
+                                                   k=k))
+                    sc_p, rows_p = fn(qj32, centroids10, vec_l, scale_l,
+                                      nstag_l, nstag_l, row_l, w2)
                     np.asarray(sc_p)
                     t0 = time.perf_counter()
                     for _ in range(10):
-                        sc_p, rows_p = fn(qj32)
+                        sc_p, rows_p = fn(qj32, centroids10, vec_l, scale_l,
+                                          nstag_l, nstag_l, row_l, w2)
                     np.asarray(sc_p)
                     dt = (time.perf_counter() - t0) / 10
                     rows_np = np.asarray(rows_p)

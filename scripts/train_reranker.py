@@ -234,6 +234,29 @@ def main() -> None:
                 bert_init = jax.tree_util.tree_map(
                     lambda a: jnp.asarray(a, jnp.float32), bert_init)
                 spec = spec_from_params(bert_init, spec)
+                if args.seq_len > spec.max_len:
+                    # The bi-encoder trains at max_len 128, which silently
+                    # clamped earlier CE runs to ~80 body tokens per pair
+                    # (bodies run to 400).  Extend the position table by
+                    # cyclic repeat + small jitter — repeated rows start
+                    # near a plausible scale and the ranking loss re-trains
+                    # them — so the CE can attend over real document crops.
+                    import dataclasses
+
+                    pe = np.asarray(
+                        bert_init["position_embeddings"]["embedding"],
+                        np.float32)
+                    reps = -(-args.seq_len // pe.shape[0])
+                    ext = np.concatenate([pe] * reps, axis=0)[: args.seq_len]
+                    jit_rng = np.random.default_rng(args.seed + 17)
+                    ext[pe.shape[0]:] += jit_rng.normal(
+                        0, 0.02, ext[pe.shape[0]:].shape).astype(np.float32)
+                    bert_init = dict(bert_init)
+                    bert_init["position_embeddings"] = {
+                        "embedding": jnp.asarray(ext)}
+                    spec = dataclasses.replace(spec, max_len=args.seq_len)
+                    print(f"  position table extended "
+                          f"{pe.shape[0]} -> {args.seq_len}")
                 args.seq_len = min(args.seq_len, spec.max_len)
                 print(f"  trunk initialized from the trained bi-encoder ckpt "
                       f"(seq_len -> {args.seq_len})")

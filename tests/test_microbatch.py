@@ -188,3 +188,46 @@ def test_microbatcher_multiple_workers_all_items_served():
     hist = {k: v for k, v in GLOBAL_METRICS._counters.items()
             if k.startswith("mb2test_window_le_")}
     assert sum(hist.values()) >= 8  # 64 items / max_batch 8
+
+
+def test_microbatcher_stop_releases_worker_threads():
+    """stop() must terminate the daemon workers AND release the bound
+    run_batch reference: each live worker pins the callback's owner (the
+    engine) — and through it the index device arrays — for the process
+    lifetime."""
+    import gc
+    import weakref
+
+    class Owner:
+        def run(self, items):
+            return [i * 2 for i in items]
+
+    owner = Owner()
+    mb = MicroBatcher(owner.run, max_batch=4, workers=2)
+    assert mb.submit(3) == 6
+    threads = list(mb._threads)
+    assert any(t.is_alive() for t in threads)
+    mb.stop()
+    assert all(not t.is_alive() for t in threads)
+    ref = weakref.ref(owner)
+    del owner, mb
+    gc.collect()
+    assert ref() is None  # nothing holds the engine once workers are gone
+
+
+def test_engine_shutdown_stops_microbatcher(tmp_path):
+    cfg = Config(persist_dir=str(tmp_path / "vs"),
+                 kb_db_path=str(tmp_path / "kb.sqlite3"),
+                 db_path=str(tmp_path / "app.sqlite3"),
+                 docs_dir=str(tmp_path / "docs"),
+                 index_dtype="float32", use_pallas=False,
+                 summarize_mode="off", microbatch=True)
+    eng = RagEngine(cfg, encoder=FakeEncoder())
+    assert eng.query_vector("hello", 3, None, None) == []
+    mb = eng._microbatcher
+    assert mb is not None
+    eng.shutdown()
+    assert eng._microbatcher is None
+    assert all(not t.is_alive() for t in mb._threads)
+    # post-shutdown queries fall back to the non-batched path, not crash
+    assert eng.query_vector("hello again", 3, None, None) == []

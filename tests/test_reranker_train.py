@@ -94,11 +94,15 @@ def test_train_reranker_end_to_end(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "train_reranker.py"),
          "--corpus", str(corpus), "--biencoder", str(bi_dir),
-         "--out", str(out), "--steps", "4", "--batch", "8", "--seq-len", "64",
+         "--out", str(out), "--steps", "4", "--batch", "8", "--seq-len", "96",
          "--warmup", "1", "--hard-k", "2", "--cand-k", "5"],
         capture_output=True, text=True, timeout=900,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert proc.returncode == 0, proc.stderr[-2000:]
+    # seq-len 96 > the bi ckpt's max_len 64 -> the CE extends the position
+    # table instead of silently clamping its crops (a round-2 regression:
+    # "--seq-len 160" trained at 128)
+    assert "position table extended 64 -> 96" in proc.stdout
     report = json.load(open(out / "rerank.json"))
     labels = [r["label"] for r in report["results"]]
     assert labels[:2] == ["biencoder_top20_no_rerank", "trained_reranker"]

@@ -182,6 +182,9 @@ class HTTPServer:
         # tunneled accelerator runtimes — see .claude/skills/verify/SKILL.md)
         stop = asyncio.Event()
         loop = asyncio.get_running_loop()
+        # exposed for programmatic shutdown (stop()) from another thread
+        self._stop_event = stop
+        self._loop = loop
         try:
             import signal
 
@@ -208,6 +211,18 @@ class HTTPServer:
             asyncio.run(self.serve())
         except (KeyboardInterrupt, asyncio.CancelledError):
             pass
+
+    def stop(self) -> None:
+        """Programmatic graceful shutdown — same drain path as SIGTERM.
+        Lets an embedding process (bench, tests) stop a server thread and
+        drop its reference to the engine (and the device arrays it holds)."""
+        loop = getattr(self, "_loop", None)
+        ev = getattr(self, "_stop_event", None)
+        if loop is not None and ev is not None:
+            try:
+                loop.call_soon_threadsafe(ev.set)
+            except RuntimeError:
+                pass  # loop already closed
 
 
 def run_app(app, host: str = "0.0.0.0", port: int = 8000,

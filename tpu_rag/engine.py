@@ -328,6 +328,10 @@ class RagEngine:
 
         from tpu_rag.retrieval.hybrid import vector_hits_batch
 
+        # items are (query, k, ns, canon[, k_cap]); tolerate 4-tuples from
+        # direct callers that predate the RERANK_CANDIDATES cap
+        items = [it if len(it) == 5 else (*it, 20) for it in items]
+
         # whole-window fused path: one shared (k, ns, canon, cap), all
         # distinct cache misses -> ONE device dispatch for the entire window
         if len({tuple(rest) for _, *rest in items}) == 1:
@@ -480,3 +484,15 @@ class RagEngine:
         dt = time.time() - t0
         logger.info("warmup done in %.1fs", dt)
         return dt
+
+    def shutdown(self) -> None:
+        """Stop the microbatcher worker threads so dropping the engine
+        actually frees its device arrays (the workers hold a bound-method
+        reference to the engine; without this, an embedding process — bench,
+        tests — leaks the index HBM for the process lifetime)."""
+        if self._microbatcher is not None:
+            try:
+                self._microbatcher.stop()
+            except Exception as e:
+                logger.warning("microbatcher stop failed: %s", e)
+            self._microbatcher = None

@@ -131,7 +131,7 @@ class FlatIndex:
         dtype: str = "bfloat16",
         metric: str = "cosine",
         use_pallas: bool = True,
-        block_n: int = 8192,
+        block_n: int = 10752,         # cap; default_block_n binds per mode
         search_mode: str = "auto",    # "auto" | "exact" | "bucketed"
     ) -> None:
         if metric not in ("cosine", "ip"):
@@ -331,7 +331,11 @@ class FlatIndex:
         live = np.flatnonzero(self._alive)
         n = len(live)
         dtype_bytes = 1 if self.dtype == "int8" else (2 if self.dtype == "bfloat16" else 4)
-        bn = default_block_n(self.dim, dtype_bytes, self.block_n)
+        # tile height is mode-dependent (the bucketed epilogue affords
+        # double-height tiles — see default_block_n); the snapshot is padded
+        # for the mode this corpus size will actually search with
+        bn = default_block_n(self.dim, dtype_bytes, self.block_n,
+                             mode=self.effective_search_mode(n))
         n_pad = max(bn, -(-n // bn) * bn)
 
         vecs = np.zeros((n_pad, self.dim), np.float32)

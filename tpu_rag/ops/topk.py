@@ -50,15 +50,36 @@ def _round_up(x: int, m: int) -> int:
 QP_MAX = 64
 
 
-def default_block_n(dim: int, dtype_bytes: int, requested: int = 8192) -> int:
-    """Pick a DB tile height that fits VMEM alongside the score buffers:
-    ~<=6MB for the (double-buffered) DB tile and ~4MB for the (QP_MAX, BN)
-    f32 score/transpose temporaries, rounded to a multiple of 256.  Bigger
-    tiles measured faster monotonically at 10M rows (4096: 20ms, 5376:
-    14.6ms, 8064: 13.0ms in one qp=8 run), but qp=64 with bn=8192 blows the
-    16MB scoped-vmem limit, so the score budget binds at 5376."""
-    tile_budget = 6 * 1024 * 1024
-    score_budget = 4 * 1024 * 1024
+def _compiler_params():
+    """Raise Mosaic's scoped-VMEM cap (default ~16 MB) so larger DB tiles
+    fit double-buffered; v5e has 128 MB VMEM per core.  Measured at 10M
+    rows: the pure-DMA pipeline floor is ~13.0-13.4 ms (~585 GB/s, 72% of
+    the 819 GB/s nominal peak) and is flat across bn in {5376..43008}, so
+    block size buys epilogue amortization, not DMA rate."""
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def default_block_n(dim: int, dtype_bytes: int, requested: int = 8192,
+                    mode: str = "exact") -> int:
+    """Pick a DB tile height that fits VMEM alongside the score buffers,
+    rounded to a multiple of 256.
+
+    exact: ~<=6MB for the (double-buffered) DB tile and ~4MB for the
+    (QP_MAX, BN) f32 score temporaries — the k-pass selection loop keeps
+    several live (QP, BN) vectors, so the score budget binds at 5376 for
+    d=384 (bigger tiles measured faster monotonically up to that point:
+    4096: 20ms, 5376: 14.6ms at 10M in one qp=8 run).
+
+    bucketed: the one-pass epilogue holds ~one live (QP, BN) buffer, and
+    _compiler_params() raises Mosaic's scoped-VMEM cap, so tiles can double:
+    bn=10752 measured 13.7ms bf16 / 9.1ms int8 at 10M (vs 14.8/10.2 at
+    5376) — 96% of the measured DMA-pipeline floor."""
+    if mode == "bucketed":
+        tile_budget = 12 * 1024 * 1024
+        score_budget = 8 * 1024 * 1024
+    else:
+        tile_budget = 6 * 1024 * 1024
+        score_budget = 4 * 1024 * 1024
     bn = min(requested,
              max(256, tile_budget // max(1, dim * dtype_bytes)),
              max(256, score_budget // (QP_MAX * 12)))
@@ -129,29 +150,38 @@ def _topk_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
 
 
 def _bucketed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
-                          qscale_ref, sc_ref, id_ref, *, bn: int, qp: int,
+                          sc_ref, id_ref, *, bn: int, qp: int,
                           nb: int, is_int8: bool):
     """One-pass approximate variant (TPU-KNN style): per 128-lane bucket,
     keep only the max. The union of bucket maxima misses a true top-k member
     only when two of them land in the same 128-row bucket — rare for
-    k << n/128 (recall measured in tests/test_ops_topk.py)."""
+    k << n/128 (recall measured in tests/test_ops_topk.py).
+
+    The matmul is computed DIRECTLY in (QP, BN) orientation — queries as the
+    left operand — so scores are born in the layout every epilogue op wants
+    (lane-major masks/scales, minor-axis bucket max/argmax) and the
+    (BN,QP)->(QP,BN) transpose relayout disappears.  A/B at 10M rows, qp=64:
+    bf16 14.8 -> 13.7 ms (96% of the ~586 GB/s measured DMA-pipeline floor),
+    int8 10.2 -> 9.1 ms.  (At qp=8 the opposite orientation measured faster
+    — see _topk_tile_kernel — but the bucketed path always pads to QP_MAX.)
+    The per-QUERY int8 scale is NOT applied here: a positive per-query
+    factor cannot change that query's ranking, so the wrapper applies it
+    once to the k winners instead of (BN, QP) times per tile."""
     i = pl.program_id(0)
     x = x_ref[:]
     if is_int8:
-        scores_t = jax.lax.dot_general(
-            x, q_ref[:],
+        scores = jax.lax.dot_general(
+            q_ref[:], x,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
-        scores_t = scores_t * qscale_ref[:]
-        scores = scores_t.T * scale_ref[:].reshape(1, bn)
+        scores = scores * scale_ref[:].reshape(1, bn)        # per-row scale
     else:
-        scores_t = jax.lax.dot_general(
-            x, q_ref[:],
+        scores = jax.lax.dot_general(
+            q_ref[:], x,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        scores = scores_t.T  # (QP, BN)
+        )                                                    # (QP, BN)
 
     ns = ns_ref[:].reshape(1, bn)
     canon = canon_ref[:].reshape(1, bn)
@@ -195,12 +225,17 @@ def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, qp, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qp, nb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
+    )
+    dtype_bytes = 1 if is_int8 else x_pad.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=2 * qp * d * nt * bn,
+        bytes_accessed=nt * bn * d * dtype_bytes + qp * d * 4 + 2 * nt * qp * nb * 4,
+        transcendentals=0,
     )
     sc, ids = pl.pallas_call(
         kern,
@@ -209,14 +244,20 @@ def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad
             jax.ShapeDtypeStruct((nt, qp, nb), jnp.float32),
             jax.ShapeDtypeStruct((nt, qp, nb), jnp.int32),
         ),
+        cost_estimate=cost,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(wants, q_pad, x_pad, ns_pad.reshape(nt, 1, bn), canon_pad.reshape(nt, 1, bn),
-      scale_pad.reshape(nt, 1, bn), qscale_pad.reshape(1, qp))
+      scale_pad.reshape(nt, 1, bn))
     cand_sc = sc.transpose(1, 0, 2).reshape(qp, nt * nb)
     cand_id = ids.transpose(1, 0, 2).reshape(qp, nt * nb)
     top_sc, pos = jax.lax.top_k(cand_sc, k)
     top_id = jnp.take_along_axis(cand_id, pos, axis=1)
     top_id = jnp.where(jnp.isneginf(top_sc), -1, top_id)
+    if is_int8:
+        # per-query scale deferred out of the kernel (ranking-invariant);
+        # -inf winners stay -inf (qscale > 0 by construction)
+        top_sc = top_sc * qscale_pad.reshape(qp, 1)
     return top_sc, top_id
 
 
@@ -262,6 +303,7 @@ def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad,
             jax.ShapeDtypeStruct((nt, qp, kpad), jnp.int32),
         ),
         cost_estimate=cost,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(wants, q_pad, x_pad, ns_pad.reshape(nt, 1, bn), canon_pad.reshape(nt, 1, bn),
       scale_pad.reshape(nt, 1, bn), qscale_pad.reshape(1, qp))
@@ -330,7 +372,7 @@ def fused_matmul_topk(
                 jnp.concatenate([p[1] for p in parts], axis=0))
     is_int8 = database.dtype == jnp.int8
     dtype_bytes = 1 if is_int8 else database.dtype.itemsize
-    bn = default_block_n(d, dtype_bytes, block_n)
+    bn = default_block_n(d, dtype_bytes, block_n, mode=mode)
     nt = max(1, -(-n // bn))
     n_pad = nt * bn
     qp = _round_up(max(q, 8), 8)

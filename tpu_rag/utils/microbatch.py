@@ -68,14 +68,34 @@ class MicroBatcher:
             raise cell["error"]
         return cell["result"]
 
+    def stop(self) -> None:
+        """Terminate the worker threads.  Without this, each daemon worker
+        keeps the bound run_batch method — and through it the engine and its
+        device arrays — alive forever, so embedding processes (bench, tests)
+        could never release HBM by dropping the engine."""
+        with self._start_lock:
+            threads, self._threads = self._threads, []
+            self.workers = 0  # _ensure_worker becomes a no-op
+        for _ in threads:
+            self._q.put((None, None))  # sentinel per worker
+        for t in threads:
+            t.join(timeout=5.0)
+
     def _loop(self) -> None:
         while True:
-            batch = [self._q.get()]
+            first = self._q.get()
+            if first == (None, None):  # stop() sentinel
+                return
+            batch = [first]
             while len(batch) < self.max_batch:
                 try:
-                    batch.append(self._q.get_nowait())
+                    item = self._q.get_nowait()
                 except queue.Empty:
                     break
+                if item == (None, None):
+                    self._q.put(item)  # keep the sentinel for a worker exit
+                    break
+                batch.append(item)
             GLOBAL_METRICS.inc(f"{self.name}_batches_total")
             GLOBAL_METRICS.inc(f"{self.name}_items_total", len(batch))
             # window-fill histogram (power-of-two buckets): le_1, le_2, ...
