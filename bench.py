@@ -338,7 +338,7 @@ def main() -> None:
                         [f"warm bucket {b} slot {j}" for j in range(b)],
                         k, None, None, cache_qv=False)
 
-                def _load(mode, concurrency, duration, batch=32):
+                def _load(mode, concurrency, duration, batch=32, procs=1):
                     import subprocess as sp
                     repo = os.path.dirname(os.path.abspath(__file__))
                     out = sp.run(
@@ -347,11 +347,15 @@ def main() -> None:
                          "--base", base, "--mode", mode,
                          "--concurrency", str(concurrency),
                          "--duration", str(duration), "--warmup", "2",
-                         "--k", str(k), "--batch", str(batch)],
+                         "--k", str(k), "--batch", str(batch),
+                         "--procs", str(procs)],
                         capture_output=True, text=True, timeout=duration + 240)
                     return json.loads(out.stdout.strip().splitlines()[-1])
 
-                http_search = _load("single", 128, 10)
+                # 4 client processes: one Python load generator GIL-caps
+                # near ~1K requests/s (round 2's "the harness, not the
+                # server, is the limiter" — at a higher level)
+                http_search = _load("single", 192, 10, procs=4)
                 http_batched = _load("batched", 8, 8, batch=32)
 
                 # microbatch window-fill histogram + per-stage breakdown from

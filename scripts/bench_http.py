@@ -71,10 +71,88 @@ def _worker(host: str, port: int, path: str, mode: str, k: int, batch: int,
     out[wid] = {"lats": lats, "ok": ok, "failed": failed, "qok": qok}
 
 
+def _proc_load(base: str, mode: str, concurrency: int, duration: float,
+               warmup: float, k: int, batch: int, auth: str | None,
+               wid_base: int, q):
+    """One load-generator process: `concurrency` worker threads, results
+    posted to the parent through `q`.  A single Python client process caps
+    out near ~1K requests/s on its own GIL, so run_load shards the thread
+    pool across processes."""
+    from urllib.parse import urlsplit
+
+    u = urlsplit(base)
+    host, port = u.hostname, u.port or 80
+    path = "/search"
+
+    if warmup > 0:
+        wout: dict = {}
+        wdl = time.perf_counter() + warmup
+        ths = [threading.Thread(target=_worker,
+                                args=(host, port, path, mode, k, batch, wdl,
+                                      w, wout, auth))
+               for w in range(min(concurrency, 16))]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+
+    out: dict = {}
+    t_start = time.perf_counter()
+    deadline = t_start + duration
+    ths = [threading.Thread(target=_worker,
+                            args=(host, port, path, mode, k, batch, deadline,
+                                  wid_base + w, out, auth))
+           for w in range(concurrency)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    elapsed = time.perf_counter() - t_start
+    q.put((elapsed, out))
+
+
 def run_load(base: str, *, mode: str = "single", concurrency: int = 96,
              duration: float = 10.0, warmup: float = 2.0, k: int = 5,
-             batch: int = 32, auth: str | None = None) -> dict:
+             batch: int = 32, auth: str | None = None,
+             procs: int = 1) -> dict:
     from urllib.parse import urlsplit
+
+    if procs > 1:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")  # no fork: the parent may hold jax
+        q = ctx.Queue()
+        per = -(-concurrency // procs)
+        ps = [ctx.Process(target=_proc_load,
+                          args=(base, mode, per, duration, warmup, k, batch,
+                                auth, 10_000 * (p + 1), q))
+              for p in range(procs)]
+        for p in ps:
+            p.start()
+        results = [q.get(timeout=duration + warmup + 120) for _ in ps]
+        for p in ps:
+            p.join(timeout=30)
+        elapsed = max(e for e, _ in results)
+        out = {}
+        for _, o in results:
+            out.update(o)
+        lats = sorted(x for w in out.values() for x in w["lats"])
+        ok = sum(w["ok"] for w in out.values())
+        qok = sum(w["qok"] for w in out.values())
+        failed = sum(w["failed"] for w in out.values())
+
+        def pct(p: float) -> float | None:
+            if not lats:
+                return None
+            return round(lats[min(len(lats) - 1, int(p * len(lats)))], 1)
+
+        return {
+            "mode": mode, "concurrency": per * procs, "procs": procs,
+            "duration_s": round(elapsed, 2),
+            "requests_ok": ok, "requests_failed": failed, "queries_ok": qok,
+            "qps": round(qok / elapsed, 1) if elapsed > 0 else None,
+            "p50_ms": pct(0.50), "p95_ms": pct(0.95), "p99_ms": pct(0.99),
+        }
 
     u = urlsplit(base)
     host, port = u.hostname, u.port or 80
@@ -135,11 +213,14 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--auth", default=None)
+    ap.add_argument("--procs", type=int, default=1,
+                    help="shard the client threads over N processes (one "
+                         "Python process GIL-caps near ~1K requests/s)")
     args = ap.parse_args()
     print(json.dumps(run_load(
         args.base, mode=args.mode, concurrency=args.concurrency,
         duration=args.duration, warmup=args.warmup, k=args.k,
-        batch=args.batch, auth=args.auth)))
+        batch=args.batch, auth=args.auth, procs=args.procs)))
 
 
 if __name__ == "__main__":

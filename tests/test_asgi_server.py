@@ -36,6 +36,12 @@ def make_app():
     def item(item_id: str):
         return {"id": item_id}
 
+    @app.post("/search", public=True)
+    def search(body: dict):
+        # shape stub for the bench_http load generator test
+        qs = body.get("queries") or [body.get("query", "")]
+        return {"hits": [{"id": str(i), "text": q} for i, q in enumerate(qs)]}
+
     return app
 
 
@@ -252,3 +258,26 @@ def test_concurrent_mixed_load_through_server(tmp_path):
     assert h["docs_count"] == 48
     m = rq.get(base + "/metrics", timeout=5).text
     assert "http_post_search_total" in m  # per-route counters flowed
+
+
+def test_bench_http_multiprocess_load(server):
+    """The load generator shards its threads over N client processes (one
+    Python process GIL-caps near ~1K req/s — it must not be the limiter
+    when measuring the server)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "bench_http.py"),
+         "--base", server, "--mode", "single", "--concurrency", "8",
+         "--duration", "1.5", "--warmup", "0.2", "--procs", "2"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["procs"] == 2
+    assert res["requests_failed"] == 0
+    assert res["requests_ok"] > 0
+    assert res["qps"] > 0
+    assert res["p50_ms"] is not None
