@@ -352,10 +352,15 @@ def main() -> None:
                         capture_output=True, text=True, timeout=duration + 240)
                     return json.loads(out.stdout.strip().splitlines()[-1])
 
-                # 4 client processes: one Python load generator GIL-caps
-                # near ~1K requests/s (round 2's "the harness, not the
-                # server, is the limiter" — at a higher level)
-                http_search = _load("single", 192, 10, procs=4)
+                # Shard the load client over processes so its GIL can't cap
+                # the measurement (round 2's "the harness, not the server,
+                # is the limiter" — one level up) — but only where there are
+                # spare cores: on a 1-core host every extra client process
+                # just steals the server's cycles (measured 2563 QPS stub at
+                # procs=1 vs 1132 at procs=4 on this box).
+                ncpu = os.cpu_count() or 1
+                procs = max(1, min(4, ncpu - 1))
+                http_search = _load("single", 128, 10, procs=procs)
                 http_batched = _load("batched", 8, 8, batch=32)
 
                 # microbatch window-fill histogram + per-stage breakdown from
@@ -376,6 +381,13 @@ def main() -> None:
                             key, val = line.rsplit(" ", 1)
                             stages.setdefault(st, {})[
                                 key[len(pref):]] = float(val)
+                http_search["host_cpus"] = ncpu
+                if ncpu == 1:
+                    # the load client, HTTP handlers, tokenizer and the
+                    # microbatch dispatcher all share ONE core: this number
+                    # is a lower bound on what the server sustains with a
+                    # remote client
+                    http_search["client_shares_core"] = True
                 http_search["window_hist"] = hist
                 http_search["stages_ms"] = {
                     st: round(1e3 * v["sum"] / max(v.get("count", 1), 1), 2)
@@ -543,14 +555,54 @@ def main() -> None:
             # 10752, 21504) divides evenly; 21504 is also 2x the bucketed
             # default tile (10752, see default_block_n mode="bucketed")
             n10_pad = -(-n10 // (4 * bn)) * (4 * bn)
-            chunk = 1_000_000
+            # 500K-row chunks: the mixture generator's f32 transients
+            # (gathered centers + normalized noise) ride on top of the
+            # 7.7 GB bf16 corpus buffer on a 16 GB chip
+            chunk = 500_000
+
+            # HARD-mode structured corpus: a low-rank correlated gaussian
+            # (covariance eigen-spectrum lambda_i ~ 1/i, like real sentence-
+            # embedding covariance) — a smooth manifold with NO discrete
+            # blobs.  Discrete gaussian mixtures are trivially EASY for IVF
+            # (each latent cluster lands whole inside one k-means list, so
+            # same-cluster queries hit recall 1.0 at nprobe=1 — measured in
+            # a scaled-down study), while uniform noise is uninformatively
+            # hard (top-10 are near-orthogonal ties spread over hundreds of
+            # lists, recall ~0 at any feasible nprobe).  On the continuum a
+            # query's neighbors genuinely straddle Voronoi cells: the same
+            # study measured recall@10 0.30 (nprobe=1) -> 0.97 (scaled
+            # nprobe 32) with a clean knee, robust to the query perturbation
+            # tau in [0.15, 0.4].  Scan *bandwidth* numbers are
+            # data-independent either way.
+            kB, kQ = jax.random.split(jax.random.PRNGKey(7))
+            Bq, _ = jnp.linalg.qr(jax.random.normal(kB, (d, d), jnp.float32))
+            B10 = Bq * jax.lax.rsqrt(jnp.arange(1, d + 1, dtype=jnp.float32)
+                                     )[:, None]
 
             @functools.partial(jax.jit, static_argnames=("rows",))
             def _gen_chunk(key, rows):
-                g = jax.random.normal(key, (rows, d), jnp.bfloat16)
-                inv = jax.lax.rsqrt(jnp.sum(jnp.square(g.astype(jnp.float32)),
-                                            axis=1, keepdims=True) + 1e-9)
-                return (g.astype(jnp.float32) * inv).astype(jnp.bfloat16)
+                z = jax.random.normal(key, (rows, d), jnp.float32)
+                g = z @ B10
+                inv = jax.lax.rsqrt(jnp.sum(g * g, axis=1, keepdims=True)
+                                    + 1e-9)
+                return (g * inv).astype(jnp.bfloat16)
+
+            # queries: corpus rows perturbed by tau=0.25 of correlated noise
+            # (cos ~ 0.97 to the planted row) — the ANN-benchmark setup;
+            # NOT the 100K-section queries, which come from a different
+            # corpus and have no neighbor structure in this one
+            tau10 = 0.25
+
+            @jax.jit
+            def _gen_queries(base, key):
+                zq = jax.random.normal(key, base.shape, jnp.float32)
+                eps = zq @ B10
+                eps = eps * jax.lax.rsqrt(
+                    jnp.sum(eps * eps, axis=1, keepdims=True) + 1e-9)
+                g = base.astype(jnp.float32) + tau10 * eps
+                inv = jax.lax.rsqrt(jnp.sum(g * g, axis=1, keepdims=True)
+                                    + 1e-9)
+                return (g * inv).astype(jnp.bfloat16)
 
             # fill a preallocated buffer chunk by chunk with a DONATED
             # update — a jnp.concatenate of all chunks would transiently
@@ -568,6 +620,7 @@ def main() -> None:
                 x10 = _fill(x10, _gen_chunk(key10, rows), jnp.int32(off))
                 off += rows
             t10 = jnp.zeros((n10_pad,), jnp.int32)
+            qj10 = _gen_queries(x10[:qbatch], kQ)
 
             def _measure10(mode, xx, scales=None, bytes_per=2, bn_use=None,
                            kk=None):
@@ -577,12 +630,12 @@ def main() -> None:
                 fn = jax.jit(lambda q, xd, t, w: fused_matmul_topk(
                     q, xd, kk, db_scales=scales, ns_tags=t, canon_tags=t,
                     wants=w, assume_padded=True, block_n=bnu, mode=mode))
-                sc10, ii10 = fn(qj, xx, t10, wants)
+                sc10, ii10 = fn(qj10, xx, t10, wants)
                 np.asarray(sc10)
                 iters10 = 10
                 t0 = time.perf_counter()
                 for _ in range(iters10):
-                    sc10, ii10 = fn(qj, xx, t10, wants)
+                    sc10, ii10 = fn(qj10, xx, t10, wants)
                 np.asarray(sc10)
                 dt = (time.perf_counter() - t0) / iters10
                 return {"ms_per_batch": round(dt * 1e3, 2),
@@ -648,7 +701,6 @@ def main() -> None:
             ivf_sec = None
             try:
                 from tpu_rag.ops.kmeans import assign_clusters, kmeans
-                from tpu_rag.ops.ivf_build import group_lists
                 from tpu_rag.index.ivf import _probe_impl
                 from tpu_rag.ops.ivf_probe import ivf_probe_pallas
 
@@ -667,28 +719,67 @@ def main() -> None:
                 assign = jnp.concatenate(a_parts, axis=0)
                 del a_parts
                 mean_cnt = n10_pad / nlist10
-                cap10 = int(-(-int(1.25 * mean_cnt) // 8) * 8)
-                rows10 = jnp.arange(n10_pad, dtype=jnp.int32)
-                vec_l, ns_l, _, row_l, _, fits = group_lists(
-                    xq8, t10, t10, rows10, assign, nlist=nlist10, cap=cap10)
+                # 2.0x headroom: the continuum corpus skews list sizes
+                # (scaled-down study: 1.25x caps spill 8.6% of rows, 2.0x
+                # spills 0.6% — spilled rows go to the exact overflow buffer
+                # in production but are DROPPED by this kernel-level sweep,
+                # so the cap sets the measurable recall ceiling).  128-lane
+                # alignment matches the production cap policy
+                # (tpu_rag/index/ivf.py): whole TPU tiles per (cap, d) list.
+                cap10 = int(-(-int(2.0 * mean_cnt) // 128) * 128)
+                # group_lists materializes list array + permuted corpus at
+                # once (fine at serving sizes, ~16.2 GB here): inline the
+                # same order/slot math but scatter the vectors in CHUNKS
+                # into a donated accumulator — peak ~13 GB.
+                order10 = jnp.argsort(assign, stable=True)
+                sa = assign[order10]
+                starts = jnp.searchsorted(sa, jnp.arange(nlist10))
+                slots = (jnp.arange(n10_pad, dtype=jnp.int32)
+                         - starts[sa].astype(jnp.int32))
+                fits = slots < cap10
+                li = jnp.where(fits, sa, nlist10)
+                si = jnp.where(fits, slots, 0)
                 spilled = int(n10_pad - np.asarray(
                     fits.sum(), dtype=np.int64))
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def _scatter_chunk(acc, vals, lic, sic):
+                    return acc.at[lic, sic].set(vals)
+
+                # all list arrays keep the sacrificial overflow list (index
+                # nlist10) — slicing it off would copy the 8.4 GB array, and
+                # the probes only ever index lists chosen by centroid top-k
+                # (< nlist10); first dims just need to agree across arrays
+                vec_l = jnp.zeros((nlist10 + 1, cap10, d), jnp.int8)
+                for off in range(0, n10_pad, chunk):
+                    sel = order10[off:off + chunk]
+                    vec_l = _scatter_chunk(vec_l, xq8[sel],
+                                           li[off:off + chunk],
+                                           si[off:off + chunk])
+                row_l = jnp.full((nlist10 + 1, cap10), -1, jnp.int32)
+                row_l = row_l.at[li, si].set(order10.astype(jnp.int32))
                 safe_rows = jnp.clip(row_l, 0, n10_pad - 1)
                 scale_l = jnp.where(row_l >= 0, sq8[safe_rows], 0.0)
                 nstag_l = jnp.where(row_l >= 0, 0, PAD_TAG).astype(jnp.int32)
                 build_s = time.perf_counter() - t_build0
-                del assign, fits
+                del assign, fits, order10, sa, starts, slots, li, si
+                # the flat int8 corpus is no longer needed: free its 3.9 GB
+                # before the probes (the XLA probe materializes a
+                # (Q, nprobe, cap, d) f32 candidate tensor — 4.2 GB at
+                # nprobe=16 with this cap).  Rebind instead of del so the
+                # section-end cleanup's `del xq8, sq8` stays valid.
+                xq8 = sq8 = None
                 # a 32-query batch bounds the XLA probe's gathered-candidate
                 # materialization ((Q, nprobe, cap, d) f32); the pallas probe
                 # streams lists through VMEM so it also covers high nprobe
-                qj32 = qj[:32]
+                qj32 = qj10[:32]
                 qb32 = 32
                 gt = [set(r[r >= 0][:k].tolist()) for r in ids_gt_int8[:qb32]]
                 w2 = jnp.array([-1, -1], jnp.int32)
 
                 def _probe_qps(probe_fn, nprobe):
                     # big arrays MUST be jit ARGUMENTS: a closure capture
-                    # embeds the ~4.8 GB int8 lists as XLA constants (one
+                    # embeds the ~8.4 GB int8 lists as XLA constants (one
                     # extra HBM copy per compile -> ResourceExhausted)
                     fn = jax.jit(functools.partial(probe_fn, nprobe=nprobe,
                                                    k=k))
@@ -738,7 +829,10 @@ def main() -> None:
 
             scale_10m = {
                 "n": n10, "dtype": "bfloat16", "qbatch": qbatch, "k": k,
-                "data": "uniform-random (hard mode: no cluster structure)",
+                "data": ("low-rank correlated gaussian (eigen-spectrum "
+                         "1/i, real-embedding-like continuum — no discrete "
+                         "blobs for k-means to trivially mirror); queries "
+                         "are corpus rows perturbed by tau=0.25"),
                 # auto search_mode serves >=2M-row corpora through bucketed
                 "bucketed_auto_default": r_bucketed,
                 "exact": r_exact,

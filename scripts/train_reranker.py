@@ -270,7 +270,12 @@ def main() -> None:
             params["bert"] = bert_init
         schedule = optax.warmup_cosine_decay_schedule(
             0.0, args.lr, args.warmup, args.steps, args.lr * 0.02)
-        optimizer = optax.adamw(schedule)
+        # global-norm clip: with bf16 params a single gradient spike can blow
+        # the trunk past recovery — a 30K-step run measured loss collapsing
+        # to exactly ln(group) (uniform logits) from step ~4.6K onward
+        # without it
+        optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                                optax.adamw(schedule))
         opt_state = optimizer.init(params)
 
         import functools

@@ -201,7 +201,13 @@ class IVFIndex(FlatIndex):
             counts = np.bincount(assign, minlength=nlist)
             mean_count = max(1.0, len(main_rows) / nlist)
             cap = int(min(counts.max(), max(8, self.list_cap_factor * mean_count)))
+            # round the list capacity to the TPU tile height (int8 arrays
+            # tile as (32, 128), f32/bf16 as (8/16, 128)) so each probed
+            # (cap, d) list block DMAs as whole tiles with no ragged edge
+            # and no layout padding waste
             cap = max(8, -(-cap // 8) * 8)
+            if cap > 128:
+                cap = -(-cap // 128) * 128
 
             # grouping happens on device (tpu_rag/ops/ivf_build.py); only the
             # small tag/row arrays and the fits mask cross the host boundary.
