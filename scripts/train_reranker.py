@@ -268,34 +268,54 @@ def main() -> None:
         if bert_init is not None:
             params = dict(params)
             params["bert"] = bert_init
-        schedule = optax.warmup_cosine_decay_schedule(
-            0.0, args.lr, args.warmup, args.steps, args.lr * 0.02)
-        # global-norm clip: with bf16 params a single gradient spike can blow
-        # the trunk past recovery — a 30K-step run measured loss collapsing
-        # to exactly ln(group) (uniform logits) from step ~4.6K onward
-        # without it
-        optimizer = optax.chain(optax.clip_by_global_norm(1.0),
-                                optax.adamw(schedule))
-        opt_state = optimizer.init(params)
-
         import functools
 
         group = 1 + args.neg_per_pos
         n_pos = args.batch // group
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step_fn(params, opt_state, ids, mask, types):
-            def loss_fn(p):
-                logits = module.apply({"params": p}, ids, mask, types)
-                # grouped softmax ranking loss: each group is [pos, negs...];
-                # the model must rank its positive above ITS OWN negatives —
-                # the objective the reranker is used for at serving time
-                g = logits.reshape(n_pos, group)
-                return optax.softmax_cross_entropy_with_integer_labels(
-                    g, jnp.zeros((n_pos,), jnp.int32)).mean()
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        # Divergence armor.  Two 30K-step runs collapsed to exactly
+        # ln(group) (uniform logits — a dead trunk) from step ~4.1-4.6K
+        # onward, and clip_by_global_norm(1.0) alone did NOT prevent the
+        # second one.  Three layers of defense:
+        #   1. apply_if_finite: a non-finite update is skipped outright
+        #      instead of poisoning the params;
+        #   2. an on-device snapshot of the params, refreshed only while
+        #      the sampled loss is healthy (clearly below chance);
+        #   3. collapse detection on the 100-step sampled loss — pinned
+        #      at chance for >=400 consecutive steps past warmup —
+        #      triggers a rollback to the snapshot with the peak LR
+        #      halved (optimizer state reset, step_fn re-jitted).
+        chance = float(np.log(group))
+
+        def make_step_fn(lr_mult: float):
+            schedule = optax.warmup_cosine_decay_schedule(
+                0.0, args.lr * lr_mult, args.warmup, args.steps,
+                args.lr * lr_mult * 0.02)
+            optimizer = optax.apply_if_finite(
+                optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(schedule)),
+                max_consecutive_errors=100)
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step_fn(params, opt_state, ids, mask, types):
+                def loss_fn(p):
+                    logits = module.apply({"params": p}, ids, mask, types)
+                    # grouped softmax ranking loss: each group is
+                    # [pos, negs...]; the model must rank its positive above
+                    # ITS OWN negatives — the objective the reranker is used
+                    # for at serving time
+                    g = logits.reshape(n_pos, group)
+                    return optax.softmax_cross_entropy_with_integer_labels(
+                        g, jnp.zeros((n_pos,), jnp.int32)).mean()
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            return optimizer, step_fn
+
+        lr_mult = 1.0
+        optimizer, step_fn = make_step_fn(lr_mult)
+        opt_state = optimizer.init(params)
 
         def sample_batch():
             qi = rng.choice(len(train_docs), size=n_pos, replace=False)
@@ -355,14 +375,39 @@ def main() -> None:
         t0 = time.time()
         rounds = max(1, args.mine_rounds)
         bounds = [args.steps * (r + 1) // rounds for r in range(rounds)]
+        snapshot = jax.tree_util.tree_map(jnp.copy, params)
+        snapshot_step = 0
+        at_chance = 0  # consecutive 100-step checks pinned at chance
         step = 0
         for rnd in range(rounds):
             while step < bounds[rnd]:
                 ids, mask, types = sample_batch()
                 params, opt_state, loss = step_fn(params, opt_state, ids, mask, types)
                 if step % 100 == 0 or step == args.steps - 1:
-                    print(f"  step {step:5d}  loss {float(loss):.4f}  "
+                    lv = float(loss)
+                    print(f"  step {step:5d}  loss {lv:.4f}  "
                           f"({time.time() - t0:.0f}s)", flush=True)
+                    if step > max(args.warmup + 600, 1000):
+                        if lv >= chance - 0.03 or not np.isfinite(lv):
+                            at_chance += 1
+                        else:
+                            at_chance = 0
+                            if step % 500 == 0:
+                                snapshot = jax.tree_util.tree_map(
+                                    jnp.copy, params)
+                                snapshot_step = step
+                        if at_chance >= 4:
+                            lr_mult *= 0.5
+                            print(f"  [rollback] loss pinned at chance "
+                                  f"(~{chance:.4f}) for {at_chance * 100} "
+                                  f"steps — restoring step-{snapshot_step} "
+                                  f"snapshot, peak lr -> "
+                                  f"{args.lr * lr_mult:.2e}", flush=True)
+                            params = jax.tree_util.tree_map(
+                                jnp.copy, snapshot)
+                            optimizer, step_fn = make_step_fn(lr_mult)
+                            opt_state = optimizer.init(params)
+                            at_chance = 0
                 step += 1
             if rnd < rounds - 1:
                 tm = time.time()
