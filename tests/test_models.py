@@ -171,3 +171,20 @@ def test_cross_encoder_import_parity():
         {"params": params}, jnp.asarray(ids, jnp.int32),
         jnp.asarray(mask, jnp.int32), jnp.asarray(types, jnp.int32))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
+def test_encoder_batch_bucket_ladder():
+    """EMBED_BATCH=256 serving windows must not pad a 40-query window to
+    256: the bucket ladder includes every power of two up to the batch."""
+    from tpu_rag.models.biencoder import BiEncoder
+
+    enc = BiEncoder.__new__(BiEncoder)  # no weights needed for _bucket
+    enc.mesh = None
+    enc.batch = 256
+    assert enc._bucket(3) == 8
+    assert enc._bucket(40) == 64
+    assert enc._bucket(100) == 128
+    assert enc._bucket(256) == 256
+    enc.batch = 64
+    assert enc._bucket(40) == 64
+    assert enc._bucket(70) == 64 or enc._bucket(70) == enc.batch  # clamped to batch

@@ -183,3 +183,20 @@ def test_query_batches_beyond_qp_max_are_chunked():
     ref_sc, ref_ids = _numpy_topk(qs, x, 5)
     assert np.array(ids).shape == (QP_MAX + 37, 5)
     assert np.array_equal(np.array(ids), ref_ids)
+
+
+def test_dma_floor_scan_reduces_whole_corpus():
+    """The streaming-floor kernel must read every element (its sum equals
+    the full-corpus sum) — otherwise the measured 'DMA floor' would not be
+    a valid denominator for the scan kernels' speed-of-light fraction."""
+    import jax
+
+    from tpu_rag.ops.topk import dma_floor_scan
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1024, 384)).astype(jnp.bfloat16)
+    s = float(dma_floor_scan(x, bn=256, interpret=True))
+    ref = float(jnp.sum(x.astype(jnp.float32)))
+    assert abs(s - ref) < abs(ref) * 1e-2 + 1.0
+    x8 = (x * 63).astype(jnp.int8)
+    s8 = float(dma_floor_scan(x8, bn=256, interpret=True))
+    assert abs(s8 - float(jnp.sum(x8.astype(jnp.float32)))) < 1.0

@@ -197,8 +197,11 @@ class BiEncoder:
         return fn
 
     def _bucket(self, n: int) -> int:
+        # power-of-two ladder up to self.batch: a large-batch encoder
+        # (EMBED_BATCH=256 for high-throughput serving windows) must not pad
+        # a 40-query window to 256 — each bucket jits once and is reused
         unit = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
-        for b in (8, 16, 32):
+        for b in (8, 16, 32, 64, 128, 256, 512):
             if n <= b <= self.batch and b % unit == 0:
                 return b
         return max(self.batch, unit)

@@ -433,6 +433,40 @@ def fused_matmul_topk(
     return top_sc[:q], top_id[:q]
 
 
+def _stream_only_kernel(x_ref, out_ref):
+    # one cheap VPU reduce per tile so the DMA cannot be elided; each step
+    # writes its own output row (no cross-step dependency to serialize the
+    # pipeline)
+    col = jnp.sum(x_ref[:].astype(jnp.float32), axis=0)       # (D,)
+    out_ref[:] = jnp.sum(col.reshape(-1, _LANE), axis=0).reshape(1, _LANE)
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "interpret"))
+def dma_floor_scan(x_pad, *, bn: int, interpret: bool = False):
+    """Pure-streaming baseline for the fused scan kernels: identical grid
+    and DB-tile BlockSpec, but the only per-tile work is a VPU reduce — it
+    measures the achievable HBM->VMEM pipeline rate for this exact access
+    pattern.  kernel_gbps / dma_floor_gbps is the honest speed-of-light
+    fraction: the v5e 819 GB/s spec number is NOT reachable by a single
+    core's DMA pipeline (measured floor ~585 GB/s at 10Mx384 bf16), so a
+    scan at ~95% of the measured floor IS at speed of light even though it
+    reads ~70% of nominal peak."""
+    n_pad, d = x_pad.shape
+    nt = n_pad // bn
+    out = pl.pallas_call(
+        _stream_only_kernel,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec((bn, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt, _LANE), jnp.float32),
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )(x_pad)
+    return jnp.sum(out)
+
+
 def topk_xla_reference(
     queries,
     database,
