@@ -191,7 +191,14 @@ def main() -> None:
     from tpu_rag.ops import PAD_TAG, fused_matmul_topk, topk_xla_reference
     from tpu_rag.ops.topk import default_block_n
 
-    backend = jax.default_backend()
+    # If the TPU backend is unreachable (tunnel outage), fall back to CPU
+    # and record backend="cpu" rather than crashing with no JSON line —
+    # an honest degraded record beats an absent one.
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
     bn = default_block_n(d, 2, 8192)
     n_pad = -(-n // bn) * bn
     xp = np.zeros((n_pad, d), np.float32)
