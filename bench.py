@@ -199,6 +199,10 @@ def main() -> None:
     except Exception:
         jax.config.update("jax_platforms", "cpu")
         backend = jax.default_backend()
+    if backend != "tpu":
+        # the preflight marker may predate the outage: never run compiled
+        # (non-interpret) Pallas on the CPU fallback backend
+        use_pallas = False
     bn = default_block_n(d, 2, 8192)
     n_pad = -(-n // bn) * bn
     xp = np.zeros((n_pad, d), np.float32)
