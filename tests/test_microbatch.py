@@ -231,3 +231,46 @@ def test_engine_shutdown_stops_microbatcher(tmp_path):
     assert all(not t.is_alive() for t in mb._threads)
     # post-shutdown queries fall back to the non-batched path, not crash
     assert eng.query_vector("hello again", 3, None, None) == []
+
+
+def test_large_windows_beyond_64(tmp_path):
+    """The high-throughput serving config (MICROBATCH_MAX=256) must fuse
+    windows past the old 64 cap and serve every request correctly."""
+    enc = CountingEncoder()
+    cfg = Config(
+        persist_dir=str(tmp_path / "vs_big"),
+        kb_db_path=str(tmp_path / "db_big/kb.sqlite3"),
+        db_path=str(tmp_path / "db_big/app.sqlite3"),
+        docs_dir=str(tmp_path / "docs_big"),
+        index_dtype="float32", use_pallas=False, summarize_mode="off",
+        microbatch=True, microbatch_max=256, microbatch_workers=1,
+    )
+    eng = RagEngine(cfg, encoder=enc)
+    docs = [f"alpha beta doc{i} topic{i % 4}" for i in range(32)]
+    eng.index.add([f"d{i}" for i in range(32)], enc.embed(docs), docs,
+                  [{} for _ in range(32)])
+    enc.calls = 0
+    results = {}
+
+    def worker(i):
+        results[i] = eng.query_vector(f"alpha doc{i % 32}", 3, None, None)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(150)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 150
+    assert all(len(v) > 0 for v in results.values())
+    # single worker + 0.01s emulated device RTT: 150 concurrent arrivals
+    # must fuse into far fewer passes than requests, and at least one
+    # window must exceed the old 64 cap
+    assert enc.calls < 150
+    from tpu_rag.utils.metrics import GLOBAL_METRICS
+
+    hist = [line.split(" ")[0] for line in GLOBAL_METRICS.render().splitlines()
+            if line.startswith("vector_microbatch_window_le_")]
+    big = [k for k in hist
+           if int(k.split("_le_")[1].split("_")[0]) > 64]
+    assert big, f"no window exceeded 64: {hist}"
+    eng.shutdown()
