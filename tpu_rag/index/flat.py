@@ -20,6 +20,7 @@ block fills or tombstones accumulate past a threshold — so a single
 
 from __future__ import annotations
 
+import functools
 import threading
 from dataclasses import dataclass, field
 
@@ -30,6 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tpu_rag.index.arena import VectorArena
 from tpu_rag.index.filter import TagVocab
 from tpu_rag.ops.quant import quantize_int8_rows
 from tpu_rag.ops.topk import PAD_TAG, fused_matmul_topk, topk_xla_reference
@@ -73,6 +75,23 @@ def _append_residual_device(rb, rsb, new_r, new_rs, offset):
     rb = jax.lax.dynamic_update_slice(rb, new_r, (offset, 0))
     rsb = jax.lax.dynamic_update_slice(rsb, new_rs, (offset,))
     return rb, rsb
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("is_int8",))
+def _upload_master_chunk(vals, scales, chunk, g, offset, *, is_int8):
+    """Write one streamed-compaction chunk into the device snapshot arrays.
+    `chunk` is (C, dim) f32 with rows >= g zero-padded; the int8 quantize /
+    bf16 cast happens here on device.  Donation makes the update in place —
+    no per-chunk copy of the (n_pad, dim) destination."""
+    if is_int8:
+        q, s = quantize_int8_rows(chunk)
+        s = jnp.where(jnp.arange(chunk.shape[0]) < g, s, 0.0)
+        vals = jax.lax.dynamic_update_slice(vals, q, (offset, 0))
+        scales = jax.lax.dynamic_update_slice(scales, s, (offset,))
+    else:
+        vals = jax.lax.dynamic_update_slice(
+            vals, chunk.astype(vals.dtype), (offset, 0))
+    return vals, scales
 
 
 @jax.jit
@@ -133,6 +152,8 @@ class FlatIndex:
         use_pallas: bool = True,
         block_n: int = 10752,         # cap; default_block_n binds per mode
         search_mode: str = "auto",    # "auto" | "exact" | "bucketed"
+        master_backing: str | None = None,  # ram | disk | auto (env default)
+        master_dir: str | None = None,      # backing-file dir for disk/auto
     ) -> None:
         if metric not in ("cosine", "ip"):
             raise ValueError(f"unsupported metric: {metric}")
@@ -169,7 +190,10 @@ class FlatIndex:
         self.device_refine = True
         self.device_refine_max_rows = 4_000_000
 
-        self._vectors = np.zeros((0, dim), np.float32)
+        # Host master copy: growable RAM/disk arena (beyond-host-RAM corpora
+        # spill to an np.memmap — see tpu_rag/index/arena.py).  All reads go
+        # through the `_vectors` property (a numpy view of the live range).
+        self._arena = VectorArena(dim, backing=master_backing, dir=master_dir)
         self._ids: list[str] = []
         self._id_to_row: dict[str, int] = {}
         self._metadatas: list[dict] = []
@@ -197,9 +221,27 @@ class FlatIndex:
         self._dead_since_compact = 0
         self.snapshot_stats = {"full_rebuilds": 0, "incremental_appends": 0,
                                "incremental_kills": 0, "rows_uploaded_last": 0}
+        # Stream the device-snapshot upload in chunks (instead of staging a
+        # full (n_pad, dim) f32 copy host-side) once the staging buffer would
+        # exceed this many bytes — required for masters that exceed host RAM.
+        # Only takes effect above device_refine_max_rows (the residual-refine
+        # snapshot needs the staged copy; at refine scale it is small).
+        self.stream_upload_bytes = 4 << 30
+        self.stream_upload_chunk = 131_072          # rows per streamed chunk
         # guards host-side state across concurrent requests (the reference
         # had unguarded shared mutable state — SURVEY.md §5 race detection)
         self._lock = threading.RLock()
+
+    @property
+    def _vectors(self) -> np.ndarray:
+        """Live view of the host master rows (RAM or disk-backed)."""
+        return self._arena.view
+
+    @_vectors.setter
+    def _vectors(self, arr: np.ndarray) -> None:
+        # zero-copy adoption of e.g. a read-only memmap of a saved store
+        # (tpu_rag/parallel/distributed.py, index/store.py load paths)
+        self._arena.adopt(arr)
 
     # ------------------------------------------------------------- mutation
 
@@ -231,7 +273,7 @@ class FlatIndex:
                     self._note_dead(row)
 
             start = len(self._ids)
-            self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+            self._arena.append(vectors)
             ns = np.array([self.ns_vocab.intern(str(m.get("namespace", ""))) for m in metadatas], np.int32)
             canon = np.array([self.canon_vocab.intern(str(m.get("canonicality", ""))) for m in metadatas], np.int32)
             self._ns = np.concatenate([self._ns, ns])
@@ -338,8 +380,6 @@ class FlatIndex:
                              mode=self.effective_search_mode(n))
         n_pad = max(bn, -(-n // bn) * bn)
 
-        vecs = np.zeros((n_pad, self.dim), np.float32)
-        vecs[:n] = self._vectors[live]
         ns = np.full((n_pad,), PAD_TAG, np.int32)
         canon = np.full((n_pad,), PAD_TAG, np.int32)
         ns[:n] = self._ns[live]
@@ -353,6 +393,16 @@ class FlatIndex:
             "n_pad": n_pad,
             "bn": bn,
         }
+        if (not self._use_device_refine(n_pad)
+                and n_pad * self.dim * 4 > self.stream_upload_bytes):
+            # masters at/beyond host-RAM scale: upload in chunks instead of
+            # staging a full (n_pad, dim) f32 copy (see stream_upload_bytes)
+            self._upload_vectors_streamed(snap, live, n, n_pad)
+            if self.incremental:
+                self._alloc_append_block(snap)
+            return snap
+        vecs = np.zeros((n_pad, self.dim), np.float32)
+        vecs[:n] = self._vectors[live]
         if self.dtype == "int8":
             vals, scales = quantize_int8_rows(jnp.asarray(vecs))
             scales = scales.at[n:].set(0.0) if n_pad > n else scales
@@ -375,6 +425,38 @@ class FlatIndex:
         if self.incremental:
             self._alloc_append_block(snap)
         return snap
+
+    def _upload_vectors_streamed(self, snap: dict[str, Any], live: np.ndarray,
+                                 n: int, n_pad: int) -> None:
+        """Chunked host->device upload of the master rows: peak extra host
+        RAM is one (stream_upload_chunk, dim) f32 staging buffer instead of
+        a full (n_pad, dim) copy — the compaction path for disk-backed
+        masters that exceed host RAM.  The int8 quantize / bf16 cast happens
+        on device per chunk; buffer donation keeps the per-chunk update in
+        place (device traffic O(n), not O(n * chunks))."""
+        is_int8 = self.dtype == "int8"
+        jdt = (jnp.int8 if is_int8
+               else jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32)
+        vals = jnp.zeros((n_pad, self.dim), jdt)
+        # int8 pad rows keep scale 0 (parity with the staged path); resident
+        # bf16/f32 scales are all-ones (see _compact)
+        scales = (jnp.zeros((n_pad,), jnp.float32) if is_int8
+                  else jnp.ones((n_pad,), jnp.float32))
+        c = self.stream_upload_chunk
+        stage = np.zeros((c, self.dim), np.float32)
+        for i in range(0, n, c):
+            rows = live[i:i + c]
+            g = len(rows)
+            stage[:g] = self._vectors[rows]
+            if g < c:
+                stage[g:] = 0.0
+            vals, scales = _upload_master_chunk(
+                vals, scales, jnp.asarray(stage), jnp.int32(g), jnp.int32(i),
+                is_int8=is_int8)
+        snap["vectors"] = vals
+        snap["scales"] = scales
+        self.snapshot_stats["streamed_uploads"] = (
+            self.snapshot_stats.get("streamed_uploads", 0) + 1)
 
     def _use_device_refine(self, n_pad: int) -> bool:
         return (self.device_refine and self.refine_factor > 0
@@ -828,28 +910,58 @@ class FlatIndex:
 
     # ------------------------------------------------------------- state (for persistence)
 
-    def state(self) -> dict[str, Any]:
+    def state(self, *, include_vectors: bool = True) -> dict[str, Any]:
         with self._lock:
-            return self._state_locked()
+            return self._state_locked(include_vectors=include_vectors)
 
-    def _state_locked(self) -> dict[str, Any]:
+    def _state_locked(self, include_vectors: bool = True) -> dict[str, Any]:
         live = np.flatnonzero(self._alive)
-        return {
+        st = {
             "kind": self.kind,
             "dim": self.dim,
             "dtype": self.dtype,
             "metric": self.metric,
-            "vectors": self._vectors[live],
             "ids": [self._ids[r] for r in live],
             "metadatas": [self._metadatas[r] for r in live],
             "documents": [self._documents[r] for r in live],
         }
+        if include_vectors:
+            st["vectors"] = self._vectors[live]
+        return st
 
     @classmethod
     def from_state(cls, state: dict[str, Any], **kw) -> "FlatIndex":
         idx = cls(state["dim"], dtype=state.get("dtype", "bfloat16"),
                   metric=state.get("metric", "cosine"), **kw)
         if len(state["ids"]):
-            # vectors are already normalized; bypass re-normalization by direct add
-            idx.add(state["ids"], state["vectors"], state["documents"], state["metadatas"])
+            if isinstance(state["vectors"], np.memmap):
+                # saved stores are opened as read-only memmaps: adopt the
+                # rows zero-copy (the vector file is not read until rows are
+                # touched); the first mutation migrates to a writable backing
+                idx._bulk_adopt(state)
+            else:
+                # vectors are already normalized; bypass re-normalization by direct add
+                idx.add(state["ids"], state["vectors"], state["documents"], state["metadatas"])
         return idx
+
+    def _bulk_adopt(self, state: dict[str, Any]) -> None:
+        """Populate a fresh index from a saved state without copying the
+        vector rows (load path for disk-backed / beyond-RAM masters).  Rows
+        are unique and already normalized — save_index writes live rows only."""
+        ids, metas = state["ids"], state["metadatas"]
+        with self._lock:
+            if len(self._ids):
+                raise RuntimeError("_bulk_adopt requires an empty index")
+            self._arena.adopt(state["vectors"])
+            self._ids = list(ids)
+            self._documents = list(state["documents"])
+            self._metadatas = [dict(m or {}) for m in metas]
+            self._id_to_row = {i: r for r, i in enumerate(self._ids)}
+            self._ns = np.fromiter(
+                (self.ns_vocab.intern(str(m.get("namespace", ""))) for m in self._metadatas),
+                np.int32, count=len(ids))
+            self._canon = np.fromiter(
+                (self.canon_vocab.intern(str(m.get("canonicality", ""))) for m in self._metadatas),
+                np.int32, count=len(ids))
+            self._alive = np.ones(len(ids), bool)
+            self._dirty = True

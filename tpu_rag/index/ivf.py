@@ -107,13 +107,16 @@ class IVFIndex(FlatIndex):
         rebuild_ratio: float = 0.2,
         list_cap_factor: float = 1.5,
         seed: int = 0,
+        master_backing: str | None = None,
+        master_dir: str | None = None,
     ) -> None:
         """list_cap_factor bounds the padded-list memory: each list holds at
         most cap = factor * (n/nlist) rows; rows beyond the cap spill into
         the exact overflow buffer.  Keeps HBM use predictable at 10M+ scale
         (a max-sized cap can be several x the mean on skewed data)."""
         super().__init__(dim, dtype=dtype, metric=metric, use_pallas=use_pallas,
-                         block_n=block_n, search_mode=search_mode)
+                         block_n=block_n, search_mode=search_mode,
+                         master_backing=master_backing, master_dir=master_dir)
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters

@@ -32,15 +32,21 @@ MANIFEST = "manifest.json"
 def save_index(index: FlatIndex, path: str | Path) -> None:
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
-    state = index.state()
-    vectors: np.ndarray = state["vectors"]
+    # Hold the index lock across the metadata snapshot AND the streamed
+    # vector write so both see the same live set; the vector rows stream
+    # from the arena (RAM bounded by one chunk, even for disk-backed
+    # masters that exceed host RAM).
+    with index._lock:
+        state = index.state(include_vectors=False)
+        live = np.flatnonzero(index._alive)
+        count = index._arena.write_rows(p / "vectors.f32", rows=live)
     manifest = {
         "format_version": 1,
         "kind": state["kind"],
         "dim": state["dim"],
         "dtype": state["dtype"],
         "metric": state["metric"],
-        "count": int(vectors.shape[0]),
+        "count": count,
         "files": {"vectors": "vectors.f32", "ids": "ids.json",
                   "meta": "meta.jsonl", "docs": "docs.jsonl"},
     }
@@ -51,7 +57,6 @@ def save_index(index: FlatIndex, path: str | Path) -> None:
             manifest["ivf"]["centroids"] = "centroids.f32"
             manifest["ivf"]["centroids_shape"] = list(index._cached_centroids.shape)
             manifest["ivf"]["trained_n"] = int(index._centroids_trained_n)
-    vectors.astype(np.float32).tofile(p / "vectors.f32")
     (p / "ids.json").write_text(json.dumps(state["ids"], ensure_ascii=False), encoding="utf-8")
     with open(p / "meta.jsonl", "w", encoding="utf-8") as f:
         for m in state["metadatas"]:
@@ -68,7 +73,12 @@ def load_index(path: str | Path, **overrides) -> FlatIndex:
     manifest = json.loads((p / MANIFEST).read_text(encoding="utf-8"))
     count = manifest["count"]
     dim = manifest["dim"]
-    vectors = np.fromfile(p / manifest["files"]["vectors"], dtype=np.float32).reshape(count, dim)
+    # read-only memmap: the index adopts it zero-copy (FlatIndex._bulk_adopt)
+    # so opening a 100M-row store costs no read of the vector file; the
+    # first mutation migrates rows to a writable (RAM or disk) backing
+    vectors = np.memmap(p / manifest["files"]["vectors"], dtype=np.float32,
+                        mode="r", shape=(count, dim)) if count else \
+        np.zeros((0, dim), np.float32)
     ids = json.loads((p / manifest["files"]["ids"]).read_text(encoding="utf-8"))
     metadatas = [json.loads(line) for line in
                  (p / manifest["files"]["meta"]).read_text(encoding="utf-8").splitlines() if line]
