@@ -390,12 +390,19 @@ def test_int8_refine_recovers_recall():
 
 
 def test_auto_search_mode_routing():
-    """"auto" (the default) resolves to exact below auto_bucketed_min_rows
-    and to bucketed at/above it; explicit modes pass through unchanged."""
-    idx = FlatIndex(64)
+    """"auto" (the default) resolves below auto_bucketed_min_rows to the
+    packed selection (bf16/int8 storage — the refine restores f32 order) or
+    plain exact (f32 storage / refine off), and to bucketed at/above the
+    threshold; explicit modes pass through unchanged."""
+    idx = FlatIndex(64)  # dtype bfloat16, refine on -> packed
     assert idx.search_mode == "auto"
-    assert idx.effective_search_mode(idx.auto_bucketed_min_rows - 1) == "exact"
+    assert idx.effective_search_mode(idx.auto_bucketed_min_rows - 1) == "packed"
     assert idx.effective_search_mode(idx.auto_bucketed_min_rows) == "bucketed"
+    f32 = FlatIndex(64, dtype="float32")
+    assert f32.effective_search_mode(10) == "exact"  # no refine stage in f32
+    norefine = FlatIndex(64)
+    norefine.refine_factor = 0
+    assert norefine.effective_search_mode(10) == "exact"
     assert FlatIndex(64, search_mode="exact").effective_search_mode(10**8) == "exact"
     assert FlatIndex(64, search_mode="bucketed").effective_search_mode(10) == "bucketed"
 

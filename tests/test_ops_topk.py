@@ -200,3 +200,92 @@ def test_dma_floor_scan_reduces_whole_corpus():
     x8 = (x * 63).astype(jnp.int8)
     s8 = float(dma_floor_scan(x8, bn=256, interpret=True))
     assert abs(s8 - float(jnp.sum(x8.astype(jnp.float32)))) < 1.0
+
+
+# ---------------------------------------------------------------- packed mode
+
+def test_packed_topk_recall_bf16():
+    """Packed score|index selection as served: 2x-oversampled scan (the
+    always-on bf16 refine, flat.py refine_k_scan) + f32 re-score recovers
+    the f32 ground-truth top-k exactly; the raw packed candidates alone are
+    within bf16 resolution of it."""
+    qs, x = _make(n=6000, q=6, seed=21)
+    k = 10
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x, jnp.bfloat16),
+                                2 * k, mode="packed")
+    ids = np.array(ids)
+    _, ref_ids = _numpy_topk(qs, x, k)
+    hits = 0
+    for i in range(len(qs)):
+        exact = x[ids[i]] @ qs[i]              # f32 re-score (refine stage)
+        top = ids[i][np.argsort(-exact, kind="stable")[:k]]
+        hits += len(set(top) & set(ref_ids[i]))
+    assert hits / (k * len(qs)) >= 0.99
+    # raw packed candidates: scores quantized to ~2^-8 relative
+    ref_sc = np.take_along_axis(qs @ x.T, ids, axis=1)
+    np.testing.assert_allclose(np.array(sc), ref_sc, rtol=2e-2, atol=2e-2)
+
+
+def test_packed_topk_int8():
+    qs, x = _make(n=4000, q=4, seed=22)
+    vals, scales = quantize_int8_rows(jnp.array(x))
+    sc, ids = fused_matmul_topk(jnp.array(qs), vals, 10, db_scales=scales,
+                                mode="packed")
+    _, ref_ids = _numpy_topk(qs, x, 10)
+    ids = np.array(ids)
+    rec = np.mean([len(set(ids[i]) & set(ref_ids[i])) / 10 for i in range(4)])
+    assert rec >= 0.95  # int8 quantization error dominates, same as exact-int8
+
+
+def test_packed_tiebreak_lowest_index():
+    """Rows with identical scores must come back lowest-index-first — the
+    packed index bits break ties exactly like the exact kernel's min-over-
+    iota (determinism contract for cross-shard merges)."""
+    d = 128
+    row = np.zeros((1, d), np.float32)
+    row[0, 0] = 1.0
+    x = np.repeat(row, 600, axis=0)  # 600 identical rows
+    qs = row.copy()
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x, jnp.bfloat16), 5,
+                                mode="packed")
+    assert np.array_equal(np.array(ids)[0], np.arange(5))
+    e_sc, e_ids = fused_matmul_topk(jnp.array(qs), jnp.array(x, jnp.bfloat16),
+                                    5, mode="exact")
+    assert np.array_equal(np.array(ids), np.array(e_ids))
+
+
+def test_packed_filter_and_all_masked():
+    qs, x = _make(n=2000, q=3, seed=23)
+    ns = (np.arange(2000) % 3).astype(np.int32)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x, jnp.bfloat16), 8,
+                                ns_tags=jnp.array(ns), want_ns=1,
+                                mode="packed")
+    ids = np.array(ids)
+    assert all(ns[i] == 1 for row in ids for i in row if i >= 0)
+    _, ref_ids = _numpy_topk(qs, x, 8, ns=ns, want_ns=1)
+    rec = np.mean([len(set(ids[i]) & set(ref_ids[i])) / 8 for i in range(3)])
+    assert rec >= 0.95
+    # a tag no row carries: every slot -1 / -inf (NOT NaN — the -inf
+    # bit pattern must survive the packed truncation+reconstruction)
+    sc2, ids2 = fused_matmul_topk(jnp.array(qs), jnp.array(x, jnp.bfloat16), 8,
+                                  ns_tags=jnp.array(ns), want_ns=77,
+                                  mode="packed")
+    assert np.all(np.array(ids2) == -1)
+    assert np.all(np.isneginf(np.array(sc2)))
+
+
+def test_packed_negative_scores():
+    """Negative similarities exercise the sign-handling of the sortable-key
+    transform (negative floats order by complemented low bits)."""
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((1000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qs = -x[:3] + 0.01 * rng.standard_normal((3, 64)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x, jnp.bfloat16), 10,
+                                mode="packed")
+    _, ref_ids = _numpy_topk(qs, x, 10)
+    ids = np.array(ids)
+    rec = np.mean([len(set(ids[i]) & set(ref_ids[i])) / 10 for i in range(3)])
+    assert rec >= 0.99
+    assert np.all(np.isfinite(np.array(sc)))

@@ -591,13 +591,20 @@ class FlatIndex:
     # ------------------------------------------------------------- search
 
     def effective_search_mode(self, n: int) -> str:
-        """Resolve "auto" per corpus size: exact below auto_bucketed_min_rows
-        (the selection passes are cheap when the corpus fits VMEM-scale
-        tiles), one-pass bucketed above it (structural recall >= 0.997 at the
-        threshold and rising with n — see __init__)."""
+        """Resolve "auto" per corpus size: below auto_bucketed_min_rows the
+        per-tile top-k kernels are affordable — "packed" (one max-reduce per
+        selection pass, ~bf16 score resolution, re-ordered exactly by the
+        always-on refine) when the storage dtype has a refine stage, plain
+        "exact" otherwise; above the threshold, one-pass bucketed
+        (structural recall >= 0.997 at the threshold and rising with n —
+        see __init__)."""
         if self.search_mode != "auto":
             return self.search_mode
-        return "bucketed" if n >= self.auto_bucketed_min_rows else "exact"
+        if n >= self.auto_bucketed_min_rows:
+            return "bucketed"
+        if self.dtype in ("bfloat16", "int8") and self.refine_factor > 0:
+            return "packed"
+        return "exact"
 
     def search(
         self,

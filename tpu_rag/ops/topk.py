@@ -73,8 +73,11 @@ def default_block_n(dim: int, dtype_bytes: int, requested: int = 8192,
     bucketed: the one-pass epilogue holds ~one live (QP, BN) buffer, and
     _compiler_params() raises Mosaic's scoped-VMEM cap, so tiles can double:
     bn=10752 measured 13.7ms bf16 / 9.1ms int8 at 10M (vs 14.8/10.2 at
-    5376) — 96% of the measured DMA-pipeline floor."""
-    if mode == "bucketed":
+    5376) — 96% of the measured DMA-pipeline floor.
+
+    packed: the packed-selection loop keeps one persistent (QP, BN) int32
+    buffer plus transients — the bucketed budgets fit."""
+    if mode in ("bucketed", "packed"):
         tile_budget = 12 * 1024 * 1024
         score_budget = 8 * 1024 * 1024
     else:
@@ -145,6 +148,92 @@ def _topk_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
         s = jnp.where(col == idx, neg_inf, s)
         sc_acc = jnp.where(kcol == j, m, sc_acc)
         id_acc = jnp.where(kcol == j, base + idx, id_acc)
+    sc_ref[0] = sc_acc
+    id_ref[0] = id_acc
+
+
+def _sortable_key(sbits):
+    """Monotone map from f32 bit patterns to SIGNED int32 order: positive
+    floats already order as ints; negative floats get their low 31 bits
+    complemented (sign bit preserved, so the map is its own inverse)."""
+    return sbits ^ (jax.lax.shift_right_arithmetic(sbits, 31)
+                    & jnp.int32(0x7FFFFFFF))
+
+
+def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
+                        qscale_ref, sc_ref, id_ref, *, k_eff: int, bn: int,
+                        qp: int, kpad: int, is_int8: bool):
+    """Quasi-exact selection: pack (score high bits | lane index) into ONE
+    int32 so each of the k passes is a single max-reduce plus a single
+    mask-out — the packed index makes the winner unique, so no eq+min index
+    recovery sweep and no multi-lane tie handling (vs ~6 buffer traversals
+    per pass in _topk_tile_kernel).
+
+    The pack keeps the top 16 bits of the sortable score (sign + exponent +
+    7 mantissa bits ~ bf16 resolution) and 16 bits of within-tile index
+    (bn <= 65536).  Selection therefore treats scores equal within ~2^-8
+    relative as ties broken by lowest index; the two-stage refine
+    (flat.py refine_k_scan — always on for bf16/int8 corpora) re-scores the
+    oversampled candidates in ~f32, so end-to-end ranking quality matches
+    the exact kernel (recall gates in tests/test_ops_topk.py).  -inf
+    (masked/padded lanes) reconstructs to exactly -inf (see the low-bit
+    fill in the loop), so the wrapper's id -1 convention holds."""
+    i = pl.program_id(0)
+    x = x_ref[:]
+    # same MXU orientation rationale as _topk_tile_kernel
+    if is_int8:
+        scores_t = jax.lax.dot_general(
+            x, q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        scores_t = scores_t * qscale_ref[:]
+        scores = scores_t.T * scale_ref[:].reshape(1, bn)
+    else:
+        scores_t = jax.lax.dot_general(
+            x, q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores_t.T  # (QP, BN)
+
+    ns = ns_ref[:].reshape(1, bn)
+    canon = canon_ref[:].reshape(1, bn)
+    want_ns = wants_ref[0, 0]
+    want_canon = wants_ref[0, 1]
+    ok = (ns != PAD_TAG)
+    ok &= (want_ns < 0) | (ns == want_ns)
+    ok &= (want_canon < 0) | (canon == want_canon)
+    scores = jnp.where(ok, scores, jnp.float32(-jnp.inf))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (qp, bn), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (qp, kpad), 1)
+    base = jnp.int32(i * bn)
+
+    key = _sortable_key(jax.lax.bitcast_convert_type(scores, jnp.int32))
+    hi = jnp.int32(-65536)  # 0xFFFF0000 as int32
+    packed = (key & hi) | (jnp.int32(0xFFFF) - col)
+
+    neg_inf = jnp.float32(-jnp.inf)
+    int_min = jnp.int32(-(2**31))
+    sc_acc = jnp.full((qp, kpad), neg_inf, jnp.float32)
+    id_acc = jnp.full((qp, kpad), -1, jnp.int32)
+    for j in range(k_eff):
+        m = jnp.max(packed, axis=1, keepdims=True)            # (QP, 1)
+        packed = jnp.where(packed == m, int_min, packed)      # unique winner
+        idx = jnp.int32(0xFFFF) - (m & jnp.int32(0xFFFF))
+        # low-bit fill before the inverse map: negative keys complement their
+        # low 31 bits, so filling with ones makes the reconstructed mantissa
+        # low bits zero — in particular -inf (key_hi 0x807F0000) comes back
+        # as exactly -inf instead of a NaN bit pattern
+        fill = jnp.where(m < 0, jnp.int32(0xFFFF), jnp.int32(0))
+        sc = jax.lax.bitcast_convert_type(
+            _sortable_key((m & hi) | fill), jnp.float32)
+        sc_acc = jnp.where(kcol == j, sc, sc_acc)
+        id_acc = jnp.where(kcol == j, base + idx, id_acc)
+    # a slot whose winner was a masked lane carries score -inf; normalize its
+    # id to -1 here so the global merge can't resurrect it on score ties
+    id_acc = jnp.where(jnp.isneginf(sc_acc), -1, id_acc)
     sc_ref[0] = sc_acc
     id_ref[0] = id_acc
 
@@ -263,14 +352,17 @@ def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "is_int8", "interpret", "qp", "nt", "bn"),
+    static_argnames=("k", "is_int8", "interpret", "qp", "nt", "bn", "packed"),
 )
 def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad,
                        wants, *, k: int, is_int8: bool, interpret: bool,
-                       qp: int, nt: int, bn: int):
+                       qp: int, nt: int, bn: int, packed: bool = False):
     kpad = _round_up(max(k, 1), _LANE)
+    if packed and bn > 65536:
+        raise ValueError("packed selection needs bn <= 65536 (16 index bits)")
     kern = functools.partial(
-        _topk_tile_kernel, k_eff=k, bn=bn, qp=qp, kpad=kpad, is_int8=is_int8,
+        _packed_tile_kernel if packed else _topk_tile_kernel,
+        k_eff=k, bn=bn, qp=qp, kpad=kpad, is_int8=is_int8,
     )
     d = q_pad.shape[1]
     grid_spec = pl.GridSpec(
@@ -337,6 +429,12 @@ def fused_matmul_topk(
     """Top-k inner-product search: returns (scores (q,k) f32, ids (q,k) i32).
 
     mode="exact": per-tile exact top-k (k passes) -> exact global top-k.
+    mode="packed": per-tile top-k at ~bf16 score resolution (packed
+      score|index selection — one max-reduce per pass instead of three
+      sweeps); exact up to score ties within ~2^-8 relative, which the
+      two-stage refine re-orders in f32.  The fast default for the
+      exact-regime corpora (< auto_bucketed_min_rows) with bf16/int8
+      storage.
     mode="bucketed": one-pass per-128-row-bucket maxima -> approximate
       (recall ~>0.99 for k << n/128); much less VPU work per tile.
       Requires n >> 128*k — with fewer rows there are fewer candidates
@@ -424,12 +522,16 @@ def fused_matmul_topk(
             jnp.asarray(want_canon, jnp.int32),
         ]).reshape(1, 2)
 
-    impl = _bucketed_topk_padded if mode == "bucketed" else _fused_topk_padded
-    top_sc, top_id = impl(
-        q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad, wants,
-        k=int(k), is_int8=is_int8, interpret=bool(interpret),
-        qp=qp, nt=nt, bn=bn,
-    )
+    if mode == "bucketed":
+        top_sc, top_id = _bucketed_topk_padded(
+            q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad, wants,
+            k=int(k), is_int8=is_int8, interpret=bool(interpret),
+            qp=qp, nt=nt, bn=bn)
+    else:
+        top_sc, top_id = _fused_topk_padded(
+            q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad, wants,
+            k=int(k), is_int8=is_int8, interpret=bool(interpret),
+            qp=qp, nt=nt, bn=bn, packed=(mode == "packed"))
     return top_sc[:q], top_id[:q]
 
 
