@@ -23,6 +23,10 @@ import time
 
 PREFLIGHT_SECONDS = int(os.getenv("BENCH_PALLAS_PREFLIGHT_S", "900"))
 
+
+class _SkipSection(Exception):
+    """Raised to skip an optional bench section (swallowed by its guard)."""
+
 _PREFLIGHT_SNIPPET = r"""
 import sys
 sys.path.insert(0, {repo!r})
@@ -38,12 +42,18 @@ x = jnp.zeros((n_pad, d), jnp.bfloat16)
 t = jnp.zeros((n_pad,), jnp.int32)
 q = jnp.zeros(({qbatch}, d), jnp.bfloat16)
 w = jnp.array([[-1, -1]], jnp.int32)
+bn_p = default_block_n(d, 2, 16384, mode="packed")
+n_pad_p = -(-n // bn_p) * bn_p
+x_p = jnp.zeros((n_pad_p, d), jnp.bfloat16)
+t_p = jnp.zeros((n_pad_p,), jnp.int32)
 for k in ks:
-    for mode in ("exact", "bucketed"):
-        fn = jax.jit(lambda q, xx, t, w, m=mode, kk=k: fused_matmul_topk(
+    for mode in ("exact", "bucketed", "packed"):
+        bnu = bn_p if mode == "packed" else bn
+        xx_u, t_u = (x_p, t_p) if mode == "packed" else (x, t)
+        fn = jax.jit(lambda q, xx, t, w, m=mode, kk=k, b=bnu: fused_matmul_topk(
             q, xx, kk, ns_tags=t, canon_tags=t, wants=w,
-            assume_padded=True, block_n=bn, mode=m))
-        sc, _ = fn(q, x, t, w)
+            assume_padded=True, block_n=b, mode=m))
+        sc, _ = fn(q, xx_u, t_u, w)
         np.asarray(sc)
 open({marker!r}, "w").write("ok")
 print("PALLAS_OK")
@@ -171,12 +181,36 @@ def main() -> None:
     except Exception as e:
         ann = {"error": str(e)}
 
+    # ---------------- backend liveness probe, BEFORE anything touches jax
+    # in this process: backend init can HANG for over an hour (not raise)
+    # on a wedged tunnel, so the first touch happens in a SUBPROCESS with a
+    # deadline; on timeout the child is left running (killing a process
+    # mid-backend-init can wedge the tunnel further) and this process pins
+    # itself to CPU for an honest degraded record.
+    backend_probe_timed_out = False
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        try:
+            probe = subprocess.Popen(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            deadline = time.time() + int(os.getenv("BENCH_BACKEND_PROBE_S",
+                                                   "240"))
+            while time.time() < deadline and probe.poll() is None:
+                time.sleep(2)
+            backend_probe_timed_out = probe.poll() is None
+        except Exception:
+            pass
+
     # ---------------- TPU path selection (kernels run at serving's k_scan
     # for the f32 refine stage, so the preflight compiles that shape)
     from tpu_rag.index.flat import refine_k_scan
 
     k_scan = refine_k_scan("bfloat16", 4, k, n)  # bf16 -> 2k oversample
-    use_pallas, preflight_timed_out = _pallas_preflight(n, d, k_scan, qbatch)
+    if backend_probe_timed_out or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        use_pallas, preflight_timed_out = False, False  # skip the 900s wait
+    else:
+        use_pallas, preflight_timed_out = _pallas_preflight(n, d, k_scan, qbatch)
 
     # Methodology: everything pre-staged on device (pre-padded DB, tag
     # arrays, filter pair) exactly like FlatIndex's snapshot fast path;
@@ -193,7 +227,12 @@ def main() -> None:
 
     # If the TPU backend is unreachable (tunnel outage), fall back to CPU
     # and record backend="cpu" rather than crashing with no JSON line —
-    # an honest degraded record beats an absent one.
+    # an honest degraded record beats an absent one.  (JAX_PLATFORMS=cpu in
+    # the env alone does NOT stick — the site hook overrides it — so the
+    # config update below is the authoritative pin.)
+    if (backend_probe_timed_out
+            or os.environ.get("JAX_PLATFORMS", "") == "cpu"):
+        jax.config.update("jax_platforms", "cpu")
     try:
         backend = jax.default_backend()
     except Exception:
@@ -261,12 +300,39 @@ def main() -> None:
         pallas_bucketed = jax.jit(lambda q, xx, t, w: fused_matmul_topk(
             q, xx, k_scan, ns_tags=t, canon_tags=t, wants=w,
             assume_padded=True, block_n=bn, mode="bucketed"))
+        # packed selection (ops/topk.py _packed_tile_kernel): the serving
+        # default for bf16 corpora below the bucketed threshold — quasi-exact
+        # scan (~bf16 score resolution), f32 order restored by the refine
+        # that measure() times.  Tile height per the packed VMEM budget.
+        bn_packed = default_block_n(d, 2, 16384, mode="packed")
+        pallas_packed = jax.jit(lambda q, xx, t, w: fused_matmul_topk(
+            q, xx, k_scan, ns_tags=t, canon_tags=t, wants=w,
+            assume_padded=True, block_n=bn_packed, mode="packed"))
         results["pallas_fused"] = measure(lambda: pallas_exact(qj, xj, tj, wants))
         results["pallas_bucketed"] = measure(lambda: pallas_bucketed(qj, xj, tj, wants))
+        if n_pad % bn_packed == 0:
+            results["pallas_packed"] = measure(
+                lambda: pallas_packed(qj, xj, tj, wants))
+        else:
+            # repad for the packed tile height (different VMEM budget)
+            n_pad_p = -(-n // bn_packed) * bn_packed
+            xp_p = np.zeros((n_pad_p, d), np.float32)
+            xp_p[:n] = x
+            tags_p = np.full((n_pad_p,), PAD_TAG, np.int32)
+            tags_p[:n] = 0
+            xj_p = jnp.asarray(xp_p, jnp.bfloat16)
+            tj_p = jnp.asarray(tags_p)
+            results["pallas_packed"] = measure(
+                lambda: pallas_packed(qj, xj_p, tj_p, wants))
 
-    # headline = fastest EXACT path; the approximate bucketed path is
-    # reported alongside in paths_qps (with its measured recall)
-    exact_paths = [p for p in results if "bucketed" not in p]
+    # headline = fastest exact-grade path: refined recall >= 0.999 vs the
+    # f32 ground truth (covers exact and packed; the structurally
+    # approximate bucketed path reports alongside with its measured recall)
+    exact_paths = [p for p in results
+                   if "bucketed" not in p and results[p][1] >= 0.999]
+    if not exact_paths:  # degraded run: keep the old exact-only rule
+        exact_paths = [p for p in results if "bucketed" not in p and
+                       "packed" not in p]
     best_path = max(exact_paths, key=lambda p: results[p][0])
     tpu_qps, recall = results[best_path]
 
@@ -292,6 +358,9 @@ def main() -> None:
     http_batched = None
     tpu_build_s = None
     try:
+        if os.getenv("BENCH_SKIP_E2E"):
+            # kernel-section smoke runs (CI/CPU) skip the slow e2e+HTTP part
+            raise _SkipSection()
         from tpu_rag.index import FlatIndex
         from tpu_rag.engine import RagEngine
         from tpu_rag.config import Config
@@ -662,19 +731,21 @@ def main() -> None:
             qj10 = _gen_queries(x10[:qbatch], kQ)
 
             def _measure10(mode, xx, scales=None, bytes_per=2, bn_use=None,
-                           kk=None):
+                           kk=None, tags=None, wants_use=None):
                 # per-mode tile default (bucketed affords 2x-height tiles)
                 bnu = bn_use or default_block_n(d, bytes_per, 2 * bn, mode)
                 kk = kk or k
+                tt = t10 if tags is None else tags
+                ww = wants if wants_use is None else wants_use
                 fn = jax.jit(lambda q, xd, t, w: fused_matmul_topk(
                     q, xd, kk, db_scales=scales, ns_tags=t, canon_tags=t,
                     wants=w, assume_padded=True, block_n=bnu, mode=mode))
-                sc10, ii10 = fn(qj10, xx, t10, wants)
+                sc10, ii10 = fn(qj10, xx, tt, ww)
                 np.asarray(sc10)
                 iters10 = 10
                 t0 = time.perf_counter()
                 for _ in range(iters10):
-                    sc10, ii10 = fn(qj10, xx, t10, wants)
+                    sc10, ii10 = fn(qj10, xx, tt, ww)
                 np.asarray(sc10)
                 dt = (time.perf_counter() - t0) / iters10
                 return {"ms_per_batch": round(dt * 1e3, 2),
@@ -686,6 +757,13 @@ def main() -> None:
             # the VERDICT r2 #4 target is >=85% of HBM peak)
             r_bucketed, ids_gt_bf16 = _measure10("bucketed", x10)
             r_exact, _ = _measure10("exact", x10)
+            # packed selection (quasi-exact, refine restores f32 order):
+            # the candidate for closing the exact-vs-bucketed gap when a
+            # caller pins exact-grade results at 10M
+            try:
+                r_packed, _ = _measure10("packed", x10)
+            except Exception as e:
+                r_packed = {"error": str(e)[:100]}
             bn_sweep = []
             bn10 = default_block_n(d, 2, 2 * bn, "bucketed")  # the default tile
             for bn_try in (bn, 2 * bn, 4 * bn):
@@ -742,9 +820,10 @@ def main() -> None:
                         "gbps": round(n10_pad * d * bytes_per / dt / 1e9, 1)}
 
             floor_bf16 = _measure_floor(x10, 2)
-            for rr in (r_bucketed, r_exact):
-                rr["pct_of_dma_floor"] = round(
-                    100.0 * rr["gbps"] / floor_bf16["gbps"], 1)
+            for rr in (r_bucketed, r_exact, r_packed):
+                if "gbps" in rr:
+                    rr["pct_of_dma_floor"] = round(
+                        100.0 * rr["gbps"] / floor_bf16["gbps"], 1)
 
             # the bf16 corpus (7.7 GB) is no longer needed — free it before
             # the int8/IVF sections (the 16 GB chip can't hold bf16 + int8 +
@@ -754,10 +833,53 @@ def main() -> None:
                                             bytes_per=1)
             r_int8_exact, ids_gt_int8 = _measure10("exact", xq8, scales=sq8,
                                                    bytes_per=1)
+            try:
+                r_int8_packed, _ = _measure10("packed", xq8, scales=sq8,
+                                              bytes_per=1)
+            except Exception as e:
+                r_int8_packed = {"error": str(e)[:100]}
             floor_int8 = _measure_floor(xq8, 1)
-            for rr in (r_int8_bucketed, r_int8_exact):
-                rr["pct_of_dma_floor"] = round(
-                    100.0 * rr["gbps"] / floor_int8["gbps"], 1)
+            for rr in (r_int8_bucketed, r_int8_exact, r_int8_packed):
+                if "gbps" in rr:
+                    rr["pct_of_dma_floor"] = round(
+                        100.0 * rr["gbps"] / floor_int8["gbps"], 1)
+
+            # BASELINE config #4's "metadata-filtered /search" at 10M: tag
+            # the corpus with 8 namespaces (row % 8) and filter to one
+            # (12.5% selectivity) — the mask rides the dense scan in-kernel
+            # (SURVEY §7 mask-then-select), so throughput should hold and
+            # recall is measured against the same-quantization filtered
+            # exact scan (isolates the mask path from quantization).
+            filtered = None
+            try:
+                tags10f = (jnp.arange(n10_pad, dtype=jnp.int32) % 8)
+                wants_f = jnp.array([[3, -1]], jnp.int32)
+                rf_exact, ids_f_gt = _measure10(
+                    "exact", xq8, scales=sq8, bytes_per=1,
+                    tags=tags10f, wants_use=wants_f)
+                gt_f = [set(r[r >= 0][:k].tolist()) for r in ids_f_gt]
+
+                def _frecall(ids_np):
+                    return round(float(np.mean([
+                        len(set(ids_np[i][ids_np[i] >= 0][:k].tolist())
+                            & gt_f[i]) / max(len(gt_f[i]), 1)
+                        for i in range(qbatch)])), 4)
+
+                rf_bucketed, ids_fb = _measure10(
+                    "bucketed", xq8, scales=sq8, bytes_per=1,
+                    tags=tags10f, wants_use=wants_f)
+                rf_bucketed["recall_vs_filtered_exact"] = _frecall(ids_fb)
+                rf_packed, ids_fp = _measure10(
+                    "packed", xq8, scales=sq8, bytes_per=1,
+                    tags=tags10f, wants_use=wants_f)
+                rf_packed["recall_vs_filtered_exact"] = _frecall(ids_fp)
+                filtered = {"want_ns": 3, "selectivity": 0.125,
+                            "int8_exact": rf_exact,
+                            "int8_bucketed": rf_bucketed,
+                            "int8_packed": rf_packed}
+                del tags10f, ids_f_gt
+            except Exception as e:
+                filtered = {"error": str(e)[:160]}
 
             # IVF at 10M on HARD (uniform) data — int8 lists (BASELINE #5
             # layout), device-side build, nprobe<->recall<->QPS sweep, and
@@ -889,7 +1011,7 @@ def main() -> None:
                            "sweep_xla_probe": sweep_xla,
                            "sweep_pallas_probe": sweep_pl,
                            "knee_nprobe": knee}
-                del vec_l, ns_l, row_l, scale_l, nstag_l
+                del vec_l, row_l, scale_l, nstag_l
             except Exception as e:
                 ivf_sec = {"error": str(e)[:200]}
 
@@ -902,9 +1024,12 @@ def main() -> None:
                 # auto search_mode serves >=2M-row corpora through bucketed
                 "bucketed_auto_default": r_bucketed,
                 "exact": r_exact,
+                "packed": r_packed,
                 "block_n_sweep": bn_sweep,
                 "int8_bucketed": r_int8_bucketed,
                 "int8_exact": r_int8_exact,
+                "int8_packed": r_int8_packed,
+                "filtered": filtered,
                 "ivf_int8": ivf_sec,
                 # measured pure-DMA pipeline rate, same grid/tile (the
                 # denominator of each mode's pct_of_dma_floor)
@@ -936,6 +1061,7 @@ def main() -> None:
                                        # RTT-floor analysis
         "http_batched": http_batched,  # queries[] batched-client load
         "preflight_timed_out": preflight_timed_out,
+        "backend_probe_timed_out": backend_probe_timed_out,
         "qps_xla_batch8": round(qps_batch8, 1),  # small-batch (latency-mode) QPS
         "tpu_index_build_s": tpu_build_s,  # vs baseline_cpu_ann.build_s (graph build)
         "backend": backend,

@@ -1,0 +1,90 @@
+"""SQLite-backed row store (id/doc/meta) — the beyond-host-RAM companion to
+the vector arena: with docmeta_backing="disk" an index holds no per-row
+python objects, only the dense scan arrays (tpu_rag/index/rowmeta.py)."""
+
+import numpy as np
+
+from tpu_rag.index.flat import FlatIndex
+from tpu_rag.index.rowmeta import RowIdMap, RowSeq
+from tpu_rag.index.store import load_index, save_index
+
+
+def _rows(n, dim, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_rowseq_disk_roundtrip(tmp_path):
+    s = RowSeq(backing="disk", dir=tmp_path)
+    start = s.extend_rows(["a", "b"], ["da", "db"], [{"k": 1}, {}])
+    assert start == 0 and len(s) == 2
+    assert s.row(1) == ("b", "db", {})
+    assert s.rows([1, 0]) == [("b", "db", {}), ("a", "da", {"k": 1})]
+    s.append_row("c", "dc", {"k": 3})
+    assert [t[1] for t in s.iter_rows(batch=2)] == ["a", "b", "c"]
+    # column views
+    assert s.ids[2] == "c"
+    assert s.docs[[0, 2]] == ["da", "dc"]
+    assert list(s.metas) == [{"k": 1}, {}, {"k": 3}]
+    # id map shares the sqlite file
+    m = RowIdMap(s)
+    m.set_many([("a", 0), ("b", 1)])
+    m["c"] = 2
+    assert m["a"] == 0 and m.get("zz") is None and "b" in m
+    assert m.pop("b") == 1 and m.get("b") is None
+    path = s.disk.path
+    assert path.exists()
+    s.disk.close()
+    assert not path.exists()  # backing file cleaned up
+
+
+def test_flat_disk_docmeta_matches_ram(tmp_path):
+    dim = 32
+    x = _rows(250, dim)
+    ids = [f"d{i}" for i in range(250)]
+    docs = [f"text {i}" for i in range(250)]
+    metas = [{"namespace": "a" if i % 2 else "b", "n": i} for i in range(250)]
+    ram = FlatIndex(dim, use_pallas=False)
+    dsk = FlatIndex(dim, use_pallas=False, docmeta_backing="disk",
+                    master_dir=str(tmp_path))
+    for idx in (ram, dsk):
+        idx.add(ids, x, docs, metas)
+    assert dsk._rowmeta.backing == "disk"
+    q = _rows(3, dim, seed=5)
+    r_ram, r_dsk = ram.search(q, 5), dsk.search(q, 5)
+    assert r_ram.ids == r_dsk.ids
+    assert r_ram.documents == r_dsk.documents
+    assert r_ram.metadatas == r_dsk.metadatas
+    # get / upsert / delete(ids) / delete(where) behave identically
+    assert dsk.get("d7")["document"] == "text 7"
+    for idx in (ram, dsk):
+        idx.add(["d7"], _rows(1, dim, seed=9), ["new 7"], [{"namespace": "a"}])
+        idx.delete(ids=["d0", "d1"])
+        idx.delete(where={"n": 13})
+    assert ram.count() == dsk.count() == 247
+    assert dsk.get("d7")["document"] == "new 7"
+    assert ram.search(q, 5).ids == dsk.search(q, 5).ids
+
+
+def test_save_load_disk_docmeta(tmp_path):
+    dim = 16
+    x = _rows(60, dim)
+    src = FlatIndex(dim, dtype="float32", use_pallas=False)
+    src.add([f"d{i}" for i in range(60)], x,
+            [f"doc {i}" for i in range(60)],
+            [{"namespace": "x", "i": i} for i in range(60)])
+    src.delete(ids=["d3"])  # live-rows-only save must skip it
+    save_index(src, tmp_path / "st")
+    loaded = load_index(tmp_path / "st", use_pallas=False,
+                        docmeta_backing="disk", master_dir=str(tmp_path))
+    assert loaded._rowmeta.backing == "disk"
+    assert loaded.count() == 59
+    assert loaded.get("d3") is None
+    got = loaded.get("d10")
+    assert got["document"] == "doc 10" and got["metadata"]["i"] == 10
+    q = _rows(2, dim, seed=2)
+    assert src.search(q, 5).ids == loaded.search(q, 5).ids
+    # mutations after a streamed load keep working
+    loaded.add(["zz"], _rows(1, dim, seed=3), ["zdoc"], [{"namespace": "x"}])
+    assert loaded.get("zz")["document"] == "zdoc"

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from tpu_rag.index.arena import VectorArena
 from tpu_rag.index.filter import TagVocab
+from tpu_rag.index.rowmeta import RowIdMap, RowSeq
 from tpu_rag.ops.quant import quantize_int8_rows
 from tpu_rag.ops.topk import PAD_TAG, fused_matmul_topk, topk_xla_reference
 
@@ -154,6 +155,7 @@ class FlatIndex:
         search_mode: str = "auto",    # "auto" | "exact" | "bucketed"
         master_backing: str | None = None,  # ram | disk | auto (env default)
         master_dir: str | None = None,      # backing-file dir for disk/auto
+        docmeta_backing: str | None = None,  # ram | disk (id/doc/meta rows)
     ) -> None:
         if metric not in ("cosine", "ip"):
             raise ValueError(f"unsupported metric: {metric}")
@@ -194,10 +196,14 @@ class FlatIndex:
         # spill to an np.memmap — see tpu_rag/index/arena.py).  All reads go
         # through the `_vectors` property (a numpy view of the live range).
         self._arena = VectorArena(dim, backing=master_backing, dir=master_dir)
-        self._ids: list[str] = []
-        self._id_to_row: dict[str, int] = {}
-        self._metadatas: list[dict] = []
-        self._documents: list[str] = []
+        # Per-row id/document/metadata + id->row map: RAM lists by default,
+        # SQLite-backed with docmeta_backing="disk" (tpu_rag/index/rowmeta.py)
+        # so 100M-row corpora don't hold tens of GB of interpreter objects.
+        import os as _os
+        docmeta_backing = docmeta_backing or _os.environ.get(
+            "TPU_RAG_DOCMETA_BACKING", "ram")
+        self._rowmeta = RowSeq(backing=docmeta_backing, dir=master_dir)
+        self._id_to_row = RowIdMap(self._rowmeta)
         self._ns: np.ndarray = np.zeros((0,), np.int32)
         self._canon: np.ndarray = np.zeros((0,), np.int32)
         self._alive: np.ndarray = np.zeros((0,), bool)
@@ -231,6 +237,21 @@ class FlatIndex:
         # guards host-side state across concurrent requests (the reference
         # had unguarded shared mutable state — SURVEY.md §5 race detection)
         self._lock = threading.RLock()
+
+    # Read views over the row store (RAM lists or SQLite — rowmeta.py).
+    # They support [row], [row_list], len() and iteration; all writes go
+    # through self._rowmeta / self._id_to_row.
+    @property
+    def _ids(self):
+        return self._rowmeta.ids
+
+    @property
+    def _documents(self):
+        return self._rowmeta.docs
+
+    @property
+    def _metadatas(self):
+        return self._rowmeta.metas
 
     @property
     def _vectors(self) -> np.ndarray:
@@ -269,21 +290,21 @@ class FlatIndex:
                 row = self._id_to_row.get(i)
                 if row is not None:
                     self._alive[row] = False
-                    del self._id_to_row[i]
+                    self._id_to_row.pop(i, None)
                     self._note_dead(row)
 
-            start = len(self._ids)
+            start = len(self._rowmeta)
             self._arena.append(vectors)
             ns = np.array([self.ns_vocab.intern(str(m.get("namespace", ""))) for m in metadatas], np.int32)
             canon = np.array([self.canon_vocab.intern(str(m.get("canonicality", ""))) for m in metadatas], np.int32)
             self._ns = np.concatenate([self._ns, ns])
             self._canon = np.concatenate([self._canon, canon])
             self._alive = np.concatenate([self._alive, np.ones(len(ids), bool)])
-            for off, (i, doc, meta) in enumerate(zip(ids, documents, metadatas)):
-                self._ids.append(i)
-                self._documents.append(doc or "")
-                self._metadatas.append(dict(meta or {}))
-                self._id_to_row[i] = start + off
+            self._rowmeta.extend_rows(
+                ids, [d or "" for d in documents],
+                [dict(m or {}) for m in metadatas])
+            self._id_to_row.set_many(
+                (i, start + off) for off, i in enumerate(ids))
             self._note_added(range(start, start + len(ids)))
 
     upsert = add
@@ -311,7 +332,7 @@ class FlatIndex:
         if self._dirty or self._device is None or not self.incremental:
             self._dirty = True
             return
-        if self._dead_since_compact > self.max_dead_fraction * max(len(self._ids), 1):
+        if self._dead_since_compact > self.max_dead_fraction * max(len(self._rowmeta), 1):
             self._dirty = True  # reclaim tombstoned rows with a full compact
             return
         if row in self._append_slot or self._pending_add.count(row) == 0:
@@ -332,12 +353,14 @@ class FlatIndex:
                     self._note_dead(row)
                     n += 1
             if where:
-                for row, meta in enumerate(self._metadatas):
+                # streamed row-order scan: RAM bounded by one rowmeta batch
+                # even with the SQLite backing (beyond-RAM corpora)
+                for row, rid, _doc, meta in self._rowmeta.iter_rows():
                     if not self._alive[row]:
                         continue
                     if all(str(meta.get(k)) == str(v) for k, v in where.items()):
                         self._alive[row] = False
-                        self._id_to_row.pop(self._ids[row], None)
+                        self._id_to_row.pop(rid, None)
                         self._note_dead(row)
                         n += 1
         return n
@@ -355,10 +378,11 @@ class FlatIndex:
         row = self._id_to_row.get(id_)
         if row is None:
             return None
+        _rid, doc, meta = self._rowmeta.row(row)
         return {
             "id": id_,
-            "document": self._documents[row],
-            "metadata": self._metadatas[row],
+            "document": doc,
+            "metadata": meta,
             "vector": self._vectors[row],
         }
 
@@ -893,26 +917,31 @@ class FlatIndex:
         return out_sc, out_hr
 
     def _to_result(self, sc: np.ndarray, hrows: np.ndarray) -> SearchResult:
-        res = SearchResult(ids=[], similarities=[], distances=[], rows=[], metadatas=[], documents=[])
+        # collect all valid hit rows first and fetch them in ONE batch from
+        # the row store (a single SQL query per ~512 rows on disk backing)
+        valid: list[tuple[int, int, float]] = []
         for qi in range(sc.shape[0]):
-            ids_q, sim_q, dist_q, row_q, meta_q, doc_q = [], [], [], [], [], []
             for j in range(sc.shape[1]):
                 host_row = int(hrows[qi, j])
                 s = float(sc[qi, j])
-                if host_row < 0 or not np.isfinite(s):
-                    continue
-                ids_q.append(self._ids[host_row])
-                sim_q.append(s)
-                dist_q.append(1.0 - s)
-                row_q.append(host_row)
-                meta_q.append(self._metadatas[host_row])
-                doc_q.append(self._documents[host_row])
-            res.ids.append(ids_q)
-            res.similarities.append(sim_q)
-            res.distances.append(dist_q)
-            res.rows.append(row_q)
-            res.metadatas.append(meta_q)
-            res.documents.append(doc_q)
+                if host_row >= 0 and np.isfinite(s):
+                    valid.append((qi, host_row, s))
+        fetched = self._rowmeta.rows([v[1] for v in valid])
+        res = SearchResult(ids=[], similarities=[], distances=[], rows=[], metadatas=[], documents=[])
+        for qi in range(sc.shape[0]):
+            res.ids.append([])
+            res.similarities.append([])
+            res.distances.append([])
+            res.rows.append([])
+            res.metadatas.append([])
+            res.documents.append([])
+        for (qi, host_row, s), (rid, doc, meta) in zip(valid, fetched):
+            res.ids[qi].append(rid)
+            res.similarities[qi].append(s)
+            res.distances[qi].append(1.0 - s)
+            res.rows[qi].append(host_row)
+            res.metadatas[qi].append(meta)
+            res.documents[qi].append(doc)
         return res
 
     # ------------------------------------------------------------- state (for persistence)
@@ -923,18 +952,27 @@ class FlatIndex:
 
     def _state_locked(self, include_vectors: bool = True) -> dict[str, Any]:
         live = np.flatnonzero(self._alive)
+        rows = self._rowmeta.rows(live.tolist())  # one batch fetch
         st = {
             "kind": self.kind,
             "dim": self.dim,
             "dtype": self.dtype,
             "metric": self.metric,
-            "ids": [self._ids[r] for r in live],
-            "metadatas": [self._metadatas[r] for r in live],
-            "documents": [self._documents[r] for r in live],
+            "ids": [t[0] for t in rows],
+            "metadatas": [t[2] for t in rows],
+            "documents": [t[1] for t in rows],
         }
         if include_vectors:
             st["vectors"] = self._vectors[live]
         return st
+
+    def iter_live_rows(self, batch: int = 4096):
+        """Yield (id, doc, meta) for live rows in row order, RAM bounded by
+        one batch — the streaming save path (store.save_index) for
+        disk-backed masters.  Call with the index lock held."""
+        for row, rid, doc, meta in self._rowmeta.iter_rows(batch=batch):
+            if self._alive[row]:
+                yield rid, doc, meta
 
     @classmethod
     def from_state(cls, state: dict[str, Any], **kw) -> "FlatIndex":
@@ -955,20 +993,47 @@ class FlatIndex:
         """Populate a fresh index from a saved state without copying the
         vector rows (load path for disk-backed / beyond-RAM masters).  Rows
         are unique and already normalized — save_index writes live rows only."""
-        ids, metas = state["ids"], state["metadatas"]
+        self._bulk_adopt_rows(
+            state["vectors"], state["ids"],
+            zip(state["documents"], state["metadatas"]),
+            count=len(state["ids"]))
+
+    def _bulk_adopt_rows(self, vectors, ids, doc_meta_iter, *, count: int,
+                         batch: int = 8192) -> None:
+        """Streaming bulk load: `doc_meta_iter` yields (doc, meta) per row —
+        rows flow straight into the row store in batches, so a disk-backed
+        load never materializes the full doc/meta lists in RAM."""
         with self._lock:
-            if len(self._ids):
-                raise RuntimeError("_bulk_adopt requires an empty index")
-            self._arena.adopt(state["vectors"])
-            self._ids = list(ids)
-            self._documents = list(state["documents"])
-            self._metadatas = [dict(m or {}) for m in metas]
-            self._id_to_row = {i: r for r, i in enumerate(self._ids)}
-            self._ns = np.fromiter(
-                (self.ns_vocab.intern(str(m.get("namespace", ""))) for m in self._metadatas),
-                np.int32, count=len(ids))
-            self._canon = np.fromiter(
-                (self.canon_vocab.intern(str(m.get("canonicality", ""))) for m in self._metadatas),
-                np.int32, count=len(ids))
-            self._alive = np.ones(len(ids), bool)
+            if len(self._rowmeta):
+                raise RuntimeError("bulk adopt requires an empty index")
+            self._arena.adopt(vectors)
+            ns = np.empty(count, np.int32)
+            canon = np.empty(count, np.int32)
+            b_ids: list[str] = []
+            b_docs: list[str] = []
+            b_metas: list[dict] = []
+            row = 0
+
+            def _flush():
+                start = len(self._rowmeta)
+                self._rowmeta.extend_rows(b_ids, b_docs, b_metas)
+                self._id_to_row.set_many(
+                    (i, start + off) for off, i in enumerate(b_ids))
+                b_ids.clear(); b_docs.clear(); b_metas.clear()
+
+            for rid, (doc, meta) in zip(ids, doc_meta_iter):
+                meta = dict(meta or {})
+                ns[row] = self.ns_vocab.intern(str(meta.get("namespace", "")))
+                canon[row] = self.canon_vocab.intern(
+                    str(meta.get("canonicality", "")))
+                b_ids.append(rid); b_docs.append(doc or ""); b_metas.append(meta)
+                row += 1
+                if len(b_ids) >= batch:
+                    _flush()
+            _flush()
+            if row != count:
+                raise ValueError(f"bulk adopt: expected {count} rows, got {row}")
+            self._ns = ns
+            self._canon = canon
+            self._alive = np.ones(count, bool)
             self._dirty = True

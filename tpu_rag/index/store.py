@@ -32,20 +32,31 @@ MANIFEST = "manifest.json"
 def save_index(index: FlatIndex, path: str | Path) -> None:
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
-    # Hold the index lock across the metadata snapshot AND the streamed
-    # vector write so both see the same live set; the vector rows stream
-    # from the arena (RAM bounded by one chunk, even for disk-backed
-    # masters that exceed host RAM).
+    # Hold the index lock across the vector write AND the row-store walk so
+    # both see the same live set.  Everything streams: vectors from the
+    # arena chunk by chunk, ids/meta/docs from the row store batch by batch
+    # — RAM stays bounded even for disk-backed beyond-RAM masters.
     with index._lock:
-        state = index.state(include_vectors=False)
         live = np.flatnonzero(index._alive)
         count = index._arena.write_rows(p / "vectors.f32", rows=live)
+        with open(p / "ids.json", "w", encoding="utf-8") as f_ids, \
+                open(p / "meta.jsonl", "w", encoding="utf-8") as f_meta, \
+                open(p / "docs.jsonl", "w", encoding="utf-8") as f_docs:
+            f_ids.write("[")
+            first = True
+            for rid, doc, meta in index.iter_live_rows():
+                f_ids.write(("" if first else ", ") +
+                            json.dumps(rid, ensure_ascii=False))
+                first = False
+                f_meta.write(json.dumps(meta, ensure_ascii=False) + "\n")
+                f_docs.write(json.dumps(doc, ensure_ascii=False) + "\n")
+            f_ids.write("]")
     manifest = {
         "format_version": 1,
-        "kind": state["kind"],
-        "dim": state["dim"],
-        "dtype": state["dtype"],
-        "metric": state["metric"],
+        "kind": index.kind,
+        "dim": index.dim,
+        "dtype": index.dtype,
+        "metric": index.metric,
         "count": count,
         "files": {"vectors": "vectors.f32", "ids": "ids.json",
                   "meta": "meta.jsonl", "docs": "docs.jsonl"},
@@ -57,13 +68,6 @@ def save_index(index: FlatIndex, path: str | Path) -> None:
             manifest["ivf"]["centroids"] = "centroids.f32"
             manifest["ivf"]["centroids_shape"] = list(index._cached_centroids.shape)
             manifest["ivf"]["trained_n"] = int(index._centroids_trained_n)
-    (p / "ids.json").write_text(json.dumps(state["ids"], ensure_ascii=False), encoding="utf-8")
-    with open(p / "meta.jsonl", "w", encoding="utf-8") as f:
-        for m in state["metadatas"]:
-            f.write(json.dumps(m, ensure_ascii=False) + "\n")
-    with open(p / "docs.jsonl", "w", encoding="utf-8") as f:
-        for d in state["documents"]:
-            f.write(json.dumps(d, ensure_ascii=False) + "\n")
     # Write manifest last: its presence marks a complete snapshot.
     (p / MANIFEST).write_text(json.dumps(manifest, indent=2), encoding="utf-8")
 
@@ -73,36 +77,39 @@ def load_index(path: str | Path, **overrides) -> FlatIndex:
     manifest = json.loads((p / MANIFEST).read_text(encoding="utf-8"))
     count = manifest["count"]
     dim = manifest["dim"]
-    # read-only memmap: the index adopts it zero-copy (FlatIndex._bulk_adopt)
-    # so opening a 100M-row store costs no read of the vector file; the
-    # first mutation migrates rows to a writable (RAM or disk) backing
+    # read-only memmap: the index adopts it zero-copy, so opening a
+    # 100M-row store costs no read of the vector file; the first mutation
+    # migrates rows to a writable (RAM or disk) backing
     vectors = np.memmap(p / manifest["files"]["vectors"], dtype=np.float32,
                         mode="r", shape=(count, dim)) if count else \
         np.zeros((0, dim), np.float32)
     ids = json.loads((p / manifest["files"]["ids"]).read_text(encoding="utf-8"))
-    metadatas = [json.loads(line) for line in
-                 (p / manifest["files"]["meta"]).read_text(encoding="utf-8").splitlines() if line]
-    documents = [json.loads(line) for line in
-                 (p / manifest["files"]["docs"]).read_text(encoding="utf-8").splitlines() if line]
-    state = {
-        "kind": manifest["kind"],
-        "dim": dim,
-        "dtype": overrides.pop("dtype", manifest["dtype"]),
-        "metric": manifest["metric"],
-        "vectors": vectors,
-        "ids": ids,
-        "metadatas": metadatas,
-        "documents": documents,
-    }
+    ivf_cfg = manifest.get("ivf", {})
     if manifest["kind"] == "ivf":
-        ivf_cfg = manifest.get("ivf", {})
         overrides.setdefault("nlist", ivf_cfg.get("nlist", 0))
         overrides.setdefault("nprobe", ivf_cfg.get("nprobe", 8))
-        loaded = IVFIndex.from_state(state, **overrides)
-        if "centroids" in ivf_cfg:
-            shape = tuple(ivf_cfg["centroids_shape"])
-            loaded._cached_centroids = np.fromfile(
-                p / ivf_cfg["centroids"], dtype=np.float32).reshape(shape)
-            loaded._centroids_trained_n = int(ivf_cfg.get("trained_n", count))
-        return loaded
-    return FlatIndex.from_state(state, **overrides)
+        cls = IVFIndex
+    else:
+        cls = FlatIndex
+    idx = cls(dim, dtype=overrides.pop("dtype", manifest["dtype"]),
+              metric=manifest["metric"], **overrides)
+
+    def _doc_meta_iter():
+        # stream the jsonl pair line by line — the doc/meta rows flow into
+        # the index's row store in batches (RAM bounded even at 100M rows
+        # with docmeta_backing="disk")
+        with open(p / manifest["files"]["meta"], encoding="utf-8") as fm, \
+                open(p / manifest["files"]["docs"], encoding="utf-8") as fd:
+            for mline, dline in zip(fm, fd):
+                if not mline.strip():
+                    continue
+                yield json.loads(dline), json.loads(mline)
+
+    if count:
+        idx._bulk_adopt_rows(vectors, ids, _doc_meta_iter(), count=count)
+    if manifest["kind"] == "ivf" and "centroids" in ivf_cfg:
+        shape = tuple(ivf_cfg["centroids_shape"])
+        idx._cached_centroids = np.fromfile(
+            p / ivf_cfg["centroids"], dtype=np.float32).reshape(shape)
+        idx._centroids_trained_n = int(ivf_cfg.get("trained_n", count))
+    return idx

@@ -105,22 +105,24 @@ def load_sharded_flat_distributed(path, *, mesh=None, axis: str = "data",
 
     idx = _DistributedFlatIndex(dim, mesh=mesh, axis=axis, dtype=dtype,
                                 use_pallas=use_pallas, block_n=block_n)
-    # replicated result-assembly state (every host can answer any hit)
-    idx._ids = _json.loads((p / manifest["files"]["ids"]).read_text(encoding="utf-8"))
-    idx._metadatas = [_json.loads(line) for line in
-                      (p / manifest["files"]["meta"]).read_text(encoding="utf-8").splitlines() if line]
-    idx._documents = [_json.loads(line) for line in
-                      (p / manifest["files"]["docs"]).read_text(encoding="utf-8").splitlines() if line]
-    idx._alive = np.ones(n, bool)
-    idx._id_to_row = {i: r for r, i in enumerate(idx._ids)}
-    idx._ns = np.array([idx.ns_vocab.intern(str(m.get("namespace", "")))
-                        for m in idx._metadatas], np.int32)
-    idx._canon = np.array([idx.canon_vocab.intern(str(m.get("canonicality", "")))
-                           for m in idx._metadatas], np.int32)
-    # exact-refine master copy: memmap — reads page in only the few rows the
-    # refine touches, never the whole corpus
-    idx._vectors = np.memmap(p / manifest["files"]["vectors"], dtype=np.float32,
-                             mode="r", shape=(n, dim))
+    # replicated result-assembly state (every host can answer any hit):
+    # ids/docs/metas stream into the row store (RAM lists by default,
+    # SQLite with TPU_RAG_DOCMETA_BACKING=disk), the exact-refine master
+    # copy is a read-only memmap adopted zero-copy — only the few rows a
+    # refine touches ever page in
+    ids = _json.loads((p / manifest["files"]["ids"]).read_text(encoding="utf-8"))
+
+    def _doc_meta_iter():
+        with open(p / manifest["files"]["meta"], encoding="utf-8") as fm, \
+                open(p / manifest["files"]["docs"], encoding="utf-8") as fd:
+            for mline, dline in zip(fm, fd):
+                if mline.strip():
+                    yield _json.loads(dline), _json.loads(mline)
+
+    idx._bulk_adopt_rows(
+        np.memmap(p / manifest["files"]["vectors"], dtype=np.float32,
+                  mode="r", shape=(n, dim)),
+        ids, _doc_meta_iter(), count=n)
 
     # padded global layout (same as ShardedFlatIndex._compact)
     unit = jax.device_count() * 256
