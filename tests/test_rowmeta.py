@@ -88,3 +88,72 @@ def test_save_load_disk_docmeta(tmp_path):
     # mutations after a streamed load keep working
     loaded.add(["zz"], _rows(1, dim, seed=3), ["zdoc"], [{"namespace": "x"}])
     assert loaded.get("zz")["document"] == "zdoc"
+
+
+def test_vacuum_reclaims_host_rows(tmp_path):
+    """Upsert churn must not grow the host master without bound: vacuum
+    streams live rows into fresh stores and renumbers."""
+    import pytest
+    dim = 16
+    for backing in ("ram", "disk"):
+        idx = FlatIndex(dim, use_pallas=False, docmeta_backing=backing,
+                        master_backing=backing, master_dir=str(tmp_path))
+        x = _rows(100, dim)
+        ids = [f"d{i}" for i in range(100)]
+        idx.add(ids, x, [f"doc {i}" for i in range(100)],
+                [{"namespace": "a"} for _ in range(100)])
+        # churn: re-upsert the first 60 ids twice -> 120 dead rows
+        for seed in (1, 2):
+            idx.add(ids[:60], _rows(60, dim, seed=seed),
+                    [f"doc {i} v{seed}" for i in range(60)],
+                    [{"namespace": "a"} for _ in range(60)])
+        assert len(idx._rowmeta) == 220 and idx.count() == 100
+        q = _rows(3, dim, seed=7)
+        idx.auto_vacuum = False
+        before = idx.search(q, 5)
+        assert len(idx._rowmeta) == 220  # auto off: dead rows retained
+        reclaimed = idx.vacuum()
+        assert reclaimed == 120
+        assert len(idx._rowmeta) == 100 and len(idx._arena) == 100
+        after = idx.search(q, 5)
+        assert before.ids == after.ids
+        assert before.documents == after.documents
+        np.testing.assert_allclose(
+            [s for r in before.similarities for s in r],
+            [s for r in after.similarities for s in r], rtol=1e-6)
+        # the current version survived; mutations keep working post-vacuum
+        assert idx.get("d0")["document"] == "doc 0 v2"
+        assert idx.vacuum() == 0
+        idx.add(["post"], _rows(1, dim, seed=9))
+        assert idx.count() == 101
+
+
+def test_vacuum_ivf(tmp_path):
+    from tpu_rag.index.ivf import IVFIndex
+    dim = 16
+    idx = IVFIndex(dim, use_pallas=False, nlist=4, nprobe=4)
+    x = _rows(200, dim)
+    idx.add([f"d{i}" for i in range(200)], x)
+    idx.delete(ids=[f"d{i}" for i in range(50)])
+    q = _rows(2, dim, seed=3)
+    before = idx.search(q, 5)
+    assert idx.vacuum() == 50
+    after = idx.search(q, 5)
+    assert before.ids == after.ids
+
+
+def test_auto_vacuum_on_rebuild():
+    """Past max_dead_fraction, the next full device rebuild also reclaims
+    the host stores automatically."""
+    dim = 16
+    idx = FlatIndex(dim, use_pallas=False)
+    idx.incremental = False  # every mutation forces a full rebuild
+    ids = [f"d{i}" for i in range(100)]
+    idx.add(ids, _rows(100, dim))
+    for seed in (1, 2):  # 120 dead rows -> 0.55 dead fraction
+        idx.add(ids[:60], _rows(60, dim, seed=seed))
+    q = _rows(2, dim, seed=7)
+    res = idx.search(q, 5)
+    assert len(idx._rowmeta) == 100  # vacuumed during snapshot rebuild
+    assert idx.count() == 100
+    assert all(len(r) == 5 for r in res.ids)

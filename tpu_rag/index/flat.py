@@ -220,6 +220,9 @@ class FlatIndex:
         self.incremental = True
         self.append_capacity = 4096            # rows before forced compaction
         self.max_dead_fraction = 0.3
+        # reclaim host arena/row-store space for tombstoned rows whenever a
+        # full device rebuild happens with > max_dead_fraction dead rows
+        self.auto_vacuum = True
         self._pending_add: list[int] = []      # host rows awaiting device append
         self._pending_dead: list[int] = []     # host rows awaiting device kill
         self._append_rows: np.ndarray | None = None  # append slot -> host row
@@ -374,6 +377,61 @@ class FlatIndex:
         with self._lock:
             self._dirty = True
 
+    def vacuum(self) -> int:
+        """Reclaim the HOST storage of tombstoned rows: stream live rows
+        into fresh arena / row stores and renumber.  The device snapshot
+        already drops dead rows on its own full rebuilds (max_dead_fraction),
+        but without a vacuum the host master grows without bound under
+        upsert churn — hnswlib had the same gap (deleted elements stay in
+        the graph); this is the TPU-native fix.  Returns rows reclaimed.
+
+        Host row NUMBERS change; SearchResult.rows values obtained before a
+        vacuum are stale afterwards (ids remain the stable handle, matching
+        the reference's contract — reference api/app.py:209-315 addresses
+        everything by doc id)."""
+        with self._lock:
+            live = np.flatnonzero(self._alive)
+            dead = len(self._rowmeta) - len(live)
+            if dead == 0:
+                return 0
+            new_arena = VectorArena(self.dim, backing=self._arena.policy,
+                                    dir=self._arena._dir)
+            new_rows = RowSeq(backing=self._rowmeta.backing,
+                              dir=self._arena._dir)
+            new_map = RowIdMap(new_rows)
+            CH = 8192
+            src = self._vectors
+            for i in range(0, len(live), CH):
+                part = live[i:i + CH]
+                new_arena.append(src[part])
+                rows = self._rowmeta.rows(part.tolist())
+                start = new_rows.extend_rows(
+                    [t[0] for t in rows], [t[1] for t in rows],
+                    [t[2] for t in rows])
+                new_map.set_many(
+                    (t[0], start + off) for off, t in enumerate(rows))
+            # No explicit close of the old arena/row store: in-flight
+            # searches may still read them through the snapshot they hold
+            # (snapshots carry *_ref generation pointers — device_snapshot);
+            # the backing files are deleted by GC finalizers once the last
+            # snapshot referencing them is dropped.
+            self._arena = new_arena
+            self._rowmeta = new_rows
+            self._id_to_row = new_map
+            self._ns = self._ns[live]
+            self._canon = self._canon[live]
+            self._alive = np.ones(len(live), bool)
+            self._dirty = True           # next search rebuilds the snapshot
+            self._pending_add.clear()
+            self._pending_dead.clear()
+            self._dead_since_compact = 0
+            self._on_vacuum()            # subclasses drop stale row-number state
+            return dead
+
+    def _on_vacuum(self) -> None:
+        """Hook: host row NUMBERS changed — subclasses must drop any derived
+        state keyed by old row numbers (IVF list membership etc.)."""
+
     def get(self, id_: str) -> dict | None:
         row = self._id_to_row.get(id_)
         if row is None:
@@ -515,7 +573,19 @@ class FlatIndex:
     def device_snapshot(self) -> dict[str, Any]:
         with self._lock:
             if self._dirty or self._device is None:
+                # a full rebuild is the natural moment to also reclaim the
+                # HOST copies of tombstoned rows (vacuum renumbers, and the
+                # compact right below rebuilds the device maps to match)
+                if self.auto_vacuum:
+                    dead = len(self._rowmeta) - int(self._alive.sum())
+                    if dead > self.max_dead_fraction * max(len(self._rowmeta), 1):
+                        self.vacuum()
                 self._device = self._compact()
+                # generation pointers: a vacuum RENUMBERS host rows and swaps
+                # in fresh stores — readers resolve rows through the stores
+                # their snapshot was built from, never the current ones
+                self._device["rowmeta_ref"] = self._rowmeta
+                self._device["arena_ref"] = self._arena
                 self._dirty = False
                 self._pending_add.clear()
                 self._pending_dead.clear()
@@ -699,8 +769,8 @@ class FlatIndex:
         if snap.get("a_fill", 0) > 0:
             sc, hrows = self._merge_append_block(qj, sc, hrows, snap, k_scan, wants)
         if k_scan > k:
-            sc, hrows = self._refine_exact(queries, sc, hrows, k)
-        return self._to_result(sc, hrows)
+            sc, hrows = self._refine_exact(queries, sc, hrows, k, snap=snap)
+        return self._to_result(sc, hrows, snap=snap)
 
     def search_fused(self, forward, fkey, params, ids, mask, nq: int, k: int,
                      *, namespace: str | None = None,
@@ -849,8 +919,8 @@ class FlatIndex:
             sc, hrows = self._merge_append_block(jnp.asarray(qv_np), sc, hrows,
                                                  snap, k_scan, wants)
         if host_refine:
-            sc, hrows = self._refine_exact(qv_np, sc, hrows, k)
-        return self._to_result(sc, hrows), (qv_np if return_qv else None)
+            sc, hrows = self._refine_exact(qv_np, sc, hrows, k, snap=snap)
+        return self._to_result(sc, hrows, snap=snap), (qv_np if return_qv else None)
 
     def _search_append_block(self, qj, snap: dict[str, Any], k_scan: int):
         """Scan the (small) device append block with the cached XLA path."""
@@ -901,24 +971,34 @@ class FlatIndex:
         return np.where(valid, rows_map[safe], -1)
 
     def _refine_exact(self, queries: np.ndarray, sc: np.ndarray,
-                      hrows: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+                      hrows: np.ndarray, k: int,
+                      snap: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
         """Re-score the (few) scanned candidates with the exact f32 master
-        copy and keep the top k (int8 two-stage refine)."""
+        copy and keep the top k (int8 two-stage refine).  Rows resolve
+        through the snapshot's arena generation: a concurrent vacuum swaps
+        in renumbered stores, but this snapshot's row numbers belong to the
+        stores it was built from."""
+        arena = (snap or {}).get("arena_ref", self._arena)
+        vecs = arena.view
         out_sc = np.full((sc.shape[0], k), -np.inf, np.float32)
         out_hr = np.full((sc.shape[0], k), -1, np.int64)
         for qi in range(sc.shape[0]):
             cand = hrows[qi][(hrows[qi] >= 0) & np.isfinite(sc[qi])]
             if len(cand) == 0:
                 continue
-            exact = self._vectors[cand] @ queries[qi]
+            exact = vecs[cand] @ queries[qi]
             order = np.argsort(-exact, kind="stable")[:k]
             out_sc[qi, : len(order)] = exact[order]
             out_hr[qi, : len(order)] = cand[order]
         return out_sc, out_hr
 
-    def _to_result(self, sc: np.ndarray, hrows: np.ndarray) -> SearchResult:
+    def _to_result(self, sc: np.ndarray, hrows: np.ndarray,
+                   snap: dict | None = None) -> SearchResult:
         # collect all valid hit rows first and fetch them in ONE batch from
-        # the row store (a single SQL query per ~512 rows on disk backing)
+        # the row store (a single SQL query per ~512 rows on disk backing);
+        # resolve through the snapshot's row-store generation (see
+        # _refine_exact on why — vacuum renumbers)
+        rowmeta = (snap or {}).get("rowmeta_ref", self._rowmeta)
         valid: list[tuple[int, int, float]] = []
         for qi in range(sc.shape[0]):
             for j in range(sc.shape[1]):
@@ -926,7 +1006,7 @@ class FlatIndex:
                 s = float(sc[qi, j])
                 if host_row >= 0 and np.isfinite(s):
                     valid.append((qi, host_row, s))
-        fetched = self._rowmeta.rows([v[1] for v in valid])
+        fetched = rowmeta.rows([v[1] for v in valid])
         res = SearchResult(ids=[], similarities=[], distances=[], rows=[], metadatas=[], documents=[])
         for qi in range(sc.shape[0]):
             res.ids.append([])

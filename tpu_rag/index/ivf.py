@@ -137,6 +137,13 @@ class IVFIndex(FlatIndex):
             return min(self.nlist, n)
         return max(1, min(int(np.sqrt(n) * 2), n // 8 or 1))
 
+    def _on_vacuum(self) -> None:
+        # host rows renumbered: the list-membership maps carry OLD row
+        # numbers — drop them so the next _compact rebuilds from scratch
+        self._main_rows = np.zeros((0,), np.int64)
+        self._main_slot_of = np.zeros((0,), np.int64)
+        self._list_fill = None
+
     def _compact(self) -> dict[str, Any]:
         live = np.flatnonzero(self._alive)
         n = len(live)
@@ -456,8 +463,8 @@ class IVFIndex(FlatIndex):
         if snap.get("a_fill", 0) > 0:
             sc, hrows = self._merge_append_block(qj, sc, hrows, snap, k_scan, wants)
         if k_scan > k:
-            sc, hrows = self._refine_exact(queries, sc, hrows, k)
-        return self._to_result(sc, hrows)
+            sc, hrows = self._refine_exact(queries, sc, hrows, k, snap=snap)
+        return self._to_result(sc, hrows, snap=snap)
 
     def _build_search_fn(self, k: int, nprobe: int, have_main: bool, have_ov: bool):
         """Fused device-side probe + exact-overflow + merge, jitted."""

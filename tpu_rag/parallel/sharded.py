@@ -225,8 +225,8 @@ class ShardedFlatIndex(FlatIndex):
                 jnp.asarray(queries), sc, hrows, snap, k_scan,
                 self._wants_2d(want_ns, want_canon))
         if k_scan > k:
-            sc, hrows = self._refine_exact(queries, sc, hrows, k)
-        return self._to_result(sc, hrows)
+            sc, hrows = self._refine_exact(queries, sc, hrows, k, snap=snap)
+        return self._to_result(sc, hrows, snap=snap)
 
 
 def make_sharded_ivf_search(mesh: Mesh, *, k: int, nprobe: int, axis: str = "data",
@@ -327,6 +327,12 @@ class ShardedIVFIndex(IVFIndex):
             from tpu_rag.parallel.mesh import mesh_from_spec
             self.mesh = mesh_from_spec("")
         return self.mesh
+
+    def _on_vacuum(self) -> None:
+        # host rows renumbered: the shard slot maps carry OLD row numbers
+        self._s_slot_of = np.zeros((0,), np.int64)
+        self._s_ov_of = np.zeros((0,), np.int64)
+        self._sharded_kill = None
 
     def _compact(self) -> dict[str, Any]:
         """Device-side sharded build: each shard's vectors cross host->device
@@ -562,8 +568,8 @@ class ShardedIVFIndex(IVFIndex):
                     jnp.asarray(queries), sc, hrows, snap, k_scan,
                     self._wants_2d(want_ns, want_canon))
             if k_scan > k:
-                sc, hrows = self._refine_exact(queries, sc, hrows, k)
-            return self._to_result(sc, hrows)
+                sc, hrows = self._refine_exact(queries, sc, hrows, k, snap=snap)
+            return self._to_result(sc, hrows, snap=snap)
         nprobe = min(self.nprobe, snap["nlist"])
         interpret = jax.default_backend() != "tpu"
         key = (k_scan, nprobe, snap["have_ov"], snap["nlist"])
@@ -591,5 +597,5 @@ class ShardedIVFIndex(IVFIndex):
                 jnp.asarray(queries), sc, hrows, snap, k_scan,
                 self._wants_2d(want_ns, want_canon))
         if k_scan > k:
-            sc, hrows = self._refine_exact(queries, sc, hrows, k)
-        return self._to_result(sc, hrows)
+            sc, hrows = self._refine_exact(queries, sc, hrows, k, snap=snap)
+        return self._to_result(sc, hrows, snap=snap)
