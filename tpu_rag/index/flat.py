@@ -204,9 +204,14 @@ class FlatIndex:
             "TPU_RAG_DOCMETA_BACKING", "ram")
         self._rowmeta = RowSeq(backing=docmeta_backing, dir=master_dir)
         self._id_to_row = RowIdMap(self._rowmeta)
-        self._ns: np.ndarray = np.zeros((0,), np.int32)
-        self._canon: np.ndarray = np.zeros((0,), np.int32)
-        self._alive: np.ndarray = np.zeros((0,), bool)
+        # tag/liveness arrays grow with doubled capacity (like the arena) —
+        # a concatenate per add() is O(n) and quadratic under streaming
+        # ingestion; `_tag_n` rows of the buffers are live, the properties
+        # below expose exactly that prefix
+        self._tag_n = 0
+        self._ns_buf: np.ndarray = np.zeros((0,), np.int32)
+        self._canon_buf: np.ndarray = np.zeros((0,), np.int32)
+        self._alive_buf: np.ndarray = np.zeros((0,), bool)
         self.ns_vocab = TagVocab()
         self.canon_vocab = TagVocab()
 
@@ -240,6 +245,51 @@ class FlatIndex:
         # guards host-side state across concurrent requests (the reference
         # had unguarded shared mutable state — SURVEY.md §5 race detection)
         self._lock = threading.RLock()
+
+    # Tag/liveness views: writable numpy views of the live prefix.  The
+    # setters adopt a replacement array wholesale (vacuum, bulk load, the
+    # distributed loader); appends go through _append_tag_rows.
+    @property
+    def _ns(self) -> np.ndarray:
+        return self._ns_buf[: self._tag_n]
+
+    @_ns.setter
+    def _ns(self, arr) -> None:
+        self._ns_buf = np.asarray(arr, np.int32)
+        self._tag_n = len(self._ns_buf)
+
+    @property
+    def _canon(self) -> np.ndarray:
+        return self._canon_buf[: self._tag_n]
+
+    @_canon.setter
+    def _canon(self, arr) -> None:
+        self._canon_buf = np.asarray(arr, np.int32)
+
+    @property
+    def _alive(self) -> np.ndarray:
+        return self._alive_buf[: self._tag_n]
+
+    @_alive.setter
+    def _alive(self, arr) -> None:
+        self._alive_buf = np.asarray(arr, bool)
+
+    def _append_tag_rows(self, ns: np.ndarray, canon: np.ndarray) -> None:
+        """Append g rows to the tag/liveness buffers (amortized O(g))."""
+        g = len(ns)
+        need = self._tag_n + g
+        if need > len(self._ns_buf):
+            cap = max(1024, 2 * len(self._ns_buf), need)
+            for name, dtype in (("_ns_buf", np.int32), ("_canon_buf", np.int32),
+                                ("_alive_buf", bool)):
+                old = getattr(self, name)
+                buf = np.zeros((cap,), dtype)
+                buf[: len(old)] = old
+                setattr(self, name, buf)
+        self._ns_buf[self._tag_n : need] = ns
+        self._canon_buf[self._tag_n : need] = canon
+        self._alive_buf[self._tag_n : need] = True
+        self._tag_n = need
 
     # Read views over the row store (RAM lists or SQLite — rowmeta.py).
     # They support [row], [row_list], len() and iteration; all writes go
@@ -300,9 +350,7 @@ class FlatIndex:
             self._arena.append(vectors)
             ns = np.array([self.ns_vocab.intern(str(m.get("namespace", ""))) for m in metadatas], np.int32)
             canon = np.array([self.canon_vocab.intern(str(m.get("canonicality", ""))) for m in metadatas], np.int32)
-            self._ns = np.concatenate([self._ns, ns])
-            self._canon = np.concatenate([self._canon, canon])
-            self._alive = np.concatenate([self._alive, np.ones(len(ids), bool)])
+            self._append_tag_rows(ns, canon)
             self._rowmeta.extend_rows(
                 ids, [d or "" for d in documents],
                 [dict(m or {}) for m in metadatas])
@@ -418,8 +466,11 @@ class FlatIndex:
             self._arena = new_arena
             self._rowmeta = new_rows
             self._id_to_row = new_map
-            self._ns = self._ns[live]
-            self._canon = self._canon[live]
+            # gather BEFORE assigning: the _ns setter shrinks the shared
+            # live-prefix length the _canon view depends on
+            new_ns, new_canon = self._ns[live], self._canon[live]
+            self._ns = new_ns
+            self._canon = new_canon
             self._alive = np.ones(len(live), bool)
             self._dirty = True           # next search rebuilds the snapshot
             self._pending_add.clear()
