@@ -171,3 +171,47 @@ def test_ivf_disk_master_smoke(tmp_path):
     res = idx.search(_rows(2, dim, seed=4), 5)
     assert all(len(r) == 5 for r in res.ids)
     assert idx._arena.backing == "disk"
+
+
+def test_save_over_adopted_memmap_same_path(tmp_path):
+    """Persisting back to the path the arena's adopted memmap came from must
+    not truncate the file under the live mapping (regression: SIGBUS + a
+    destroyed store; save now writes a temp file and renames over)."""
+    dim = 16
+    x = _rows(40, dim)
+    idx = FlatIndex(dim, dtype="float32", use_pallas=False)
+    idx.add([f"d{i}" for i in range(40)], x)
+    save_index(idx, tmp_path / "st")
+    loaded = load_index(tmp_path / "st", use_pallas=False)
+    assert isinstance(loaded._arena._buf, np.memmap)  # adopted, not copied
+    loaded.delete(ids=["d0"])  # delete-only churn: arena never migrates
+    save_index(loaded, tmp_path / "st")  # same path as the adopted memmap
+    again = load_index(tmp_path / "st", use_pallas=False)
+    assert again.count() == 39
+    q = _rows(2, dim, seed=5)
+    assert loaded.search(q, 5).ids == again.search(q, 5).ids
+
+
+def test_streamed_compact_tail_clamp():
+    """The final streamed chunk lands past n_pad - chunk: the offset must be
+    pinned (dynamic_update_slice clamps silently) — regression for the
+    shifted-tail corruption."""
+    dim = 32
+    n = 5300  # n_pad (5376 at this dim) minus chunk (1000) < last offset
+    x = _rows(n, dim, seed=31)
+    ids = [f"d{i}" for i in range(n)]
+    staged = FlatIndex(dim, dtype="bfloat16", use_pallas=False)
+    streamed = FlatIndex(dim, dtype="bfloat16", use_pallas=False)
+    for idx in (staged, streamed):
+        idx.device_refine = False
+    streamed.stream_upload_bytes = 1
+    streamed.stream_upload_chunk = 1000
+    for idx in (staged, streamed):
+        idx.add(ids, x)
+    assert streamed.device_snapshot()["n_pad"] % 1000 != 0  # clamp case real
+    # query FOR the tail rows specifically: they are the corrupted ones
+    q = x[-4:]
+    r_staged = staged.search(q, 3)
+    r_streamed = streamed.search(q, 3)
+    assert r_staged.ids == r_streamed.ids
+    assert [r[0] for r in r_streamed.ids] == [f"d{n-4+i}" for i in range(4)]

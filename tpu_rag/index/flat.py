@@ -339,12 +339,13 @@ class FlatIndex:
         with self._lock:
             # Upsert semantics: tombstone any existing row with the same id
             # (parity with Chroma upsert used by scripts/build_index.py:89-96).
-            for i in ids:
-                row = self._id_to_row.get(i)
-                if row is not None:
-                    self._alive[row] = False
-                    self._id_to_row.pop(i, None)
-                    self._note_dead(row)
+            # Batched lookups/drops: per-id pops cost one SQLite commit each
+            # on the disk backing.
+            existing = self._id_to_row.get_many(ids)
+            for row in existing.values():
+                self._alive[row] = False
+                self._note_dead(row)
+            self._id_to_row.drop_many(existing.keys())
 
             start = len(self._rowmeta)
             self._arena.append(vectors)
@@ -397,12 +398,13 @@ class FlatIndex:
         reference api/app.py:264-271,290-315)."""
         n = 0
         with self._lock:
-            for i in ids or []:
-                row = self._id_to_row.pop(i, None)
-                if row is not None:
+            if ids:
+                found = self._id_to_row.get_many(ids)
+                for row in found.values():
                     self._alive[row] = False
                     self._note_dead(row)
                     n += 1
+                self._id_to_row.drop_many(found.keys())
             if where:
                 # streamed row-order scan: RAM bounded by one rowmeta batch
                 # even with the SQLite backing (beyond-RAM corpora)
@@ -443,7 +445,8 @@ class FlatIndex:
             if dead == 0:
                 return 0
             new_arena = VectorArena(self.dim, backing=self._arena.policy,
-                                    dir=self._arena._dir)
+                                    dir=self._arena._dir,
+                                    spill_bytes=self._arena.spill_bytes)
             new_rows = RowSeq(backing=self._rowmeta.backing,
                               dir=self._arena._dir)
             new_map = RowIdMap(new_rows)
@@ -484,16 +487,19 @@ class FlatIndex:
         state keyed by old row numbers (IVF list membership etc.)."""
 
     def get(self, id_: str) -> dict | None:
-        row = self._id_to_row.get(id_)
-        if row is None:
-            return None
-        _rid, doc, meta = self._rowmeta.row(row)
-        return {
-            "id": id_,
-            "document": doc,
-            "metadata": meta,
-            "vector": self._vectors[row],
-        }
+        # under the lock: a concurrent vacuum renumbers rows between the
+        # id->row lookup and the row-store read
+        with self._lock:
+            row = self._id_to_row.get(id_)
+            if row is None:
+                return None
+            _rid, doc, meta = self._rowmeta.row(row)
+            return {
+                "id": id_,
+                "document": doc,
+                "metadata": meta,
+                "vector": self._vectors[row],
+            }
 
     # ------------------------------------------------------------- device
 
@@ -575,17 +581,25 @@ class FlatIndex:
         # bf16/f32 scales are all-ones (see _compact)
         scales = (jnp.zeros((n_pad,), jnp.float32) if is_int8
                   else jnp.ones((n_pad,), jnp.float32))
-        c = self.stream_upload_chunk
+        c = min(self.stream_upload_chunk, n_pad)
         stage = np.zeros((c, self.dim), np.float32)
-        for i in range(0, n, c):
-            rows = live[i:i + c]
+        i = 0
+        while i < n:
+            # dynamic_update_slice CLAMPS out-of-range starts: a tail chunk
+            # written at offset > n_pad - c would silently shift backwards
+            # over live rows.  Pin the final offset to n_pad - c and refill
+            # the whole window — rewriting the overlap with identical values
+            # is idempotent, and positions >= n in the window are padding.
+            off = min(i, n_pad - c)
+            rows = live[off:min(off + c, n)]
             g = len(rows)
             stage[:g] = self._vectors[rows]
             if g < c:
                 stage[g:] = 0.0
             vals, scales = _upload_master_chunk(
-                vals, scales, jnp.asarray(stage), jnp.int32(g), jnp.int32(i),
+                vals, scales, jnp.asarray(stage), jnp.int32(g), jnp.int32(off),
                 is_int8=is_int8)
+            i = off + c
         snap["vectors"] = vals
         snap["scales"] = scales
         self.snapshot_stats["streamed_uploads"] = (

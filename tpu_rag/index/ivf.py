@@ -109,6 +109,7 @@ class IVFIndex(FlatIndex):
         seed: int = 0,
         master_backing: str | None = None,
         master_dir: str | None = None,
+        docmeta_backing: str | None = None,
     ) -> None:
         """list_cap_factor bounds the padded-list memory: each list holds at
         most cap = factor * (n/nlist) rows; rows beyond the cap spill into
@@ -116,7 +117,8 @@ class IVFIndex(FlatIndex):
         (a max-sized cap can be several x the mean on skewed data)."""
         super().__init__(dim, dtype=dtype, metric=metric, use_pallas=use_pallas,
                          block_n=block_n, search_mode=search_mode,
-                         master_backing=master_backing, master_dir=master_dir)
+                         master_backing=master_backing, master_dir=master_dir,
+                         docmeta_backing=docmeta_backing)
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters

@@ -237,6 +237,34 @@ class RowIdMap:
                 "ON CONFLICT(id) DO UPDATE SET row=excluded.row", list(pairs))
             self._seq.disk._conn.commit()
 
+    def get_many(self, ids) -> dict:
+        """id -> row for the ids that exist (one query per ~512 on disk)."""
+        ids = list(ids)
+        if self._ram is not None:
+            return {i: self._ram[i] for i in ids if i in self._ram}
+        out: dict = {}
+        CH = 512
+        with self._seq.disk.lock:
+            for i in range(0, len(ids), CH):
+                part = ids[i:i + CH]
+                q = ",".join("?" * len(part))
+                for id_, row in self._seq.disk._conn.execute(
+                        f"SELECT id, row FROM id_map WHERE id IN ({q})", part):
+                    out[id_] = row
+        return out
+
+    def drop_many(self, ids) -> None:
+        """Remove ids in one transaction (missing ids are ignored)."""
+        ids = list(ids)
+        if self._ram is not None:
+            for i in ids:
+                self._ram.pop(i, None)
+            return
+        with self._seq.disk.lock:
+            self._seq.disk._conn.executemany(
+                "DELETE FROM id_map WHERE id = ?", [(i,) for i in ids])
+            self._seq.disk._conn.commit()
+
     def pop(self, id_: str, default=None):
         if self._ram is not None:
             return self._ram.pop(id_, default)

@@ -19,6 +19,7 @@ derived at load time; centroids are recomputed (cheap, on device).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 import numpy as np
@@ -38,7 +39,14 @@ def save_index(index: FlatIndex, path: str | Path) -> None:
     # — RAM stays bounded even for disk-backed beyond-RAM masters.
     with index._lock:
         live = np.flatnonzero(index._alive)
-        count = index._arena.write_rows(p / "vectors.f32", rows=live)
+        # write to a temp name + rename: the arena may have ADOPTED a
+        # read-only memmap of this very vectors.f32 (zero-copy load) —
+        # opening it "wb" in place would truncate the pages the write loop
+        # is about to read (SIGBUS + a destroyed store).  The rename keeps
+        # the old inode alive for any live memmap.
+        tmp = p / "vectors.f32.tmp"
+        count = index._arena.write_rows(tmp, rows=live)
+        os.replace(tmp, p / "vectors.f32")
         with open(p / "ids.json", "w", encoding="utf-8") as f_ids, \
                 open(p / "meta.jsonl", "w", encoding="utf-8") as f_meta, \
                 open(p / "docs.jsonl", "w", encoding="utf-8") as f_docs:
