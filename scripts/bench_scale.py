@@ -114,7 +114,7 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--qbatch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--paths", default="xla,pallas,bucketed")
+    ap.add_argument("--paths", default="xla,pallas,packed,bucketed")
     args = ap.parse_args()
 
     from tpu_rag.utils.compile_cache import enable_persistent_cache
@@ -202,6 +202,12 @@ def main() -> None:
         paths["pallas_fused"] = measure(lambda: fused_matmul_topk(
             qj, xj, k, db_scales=scales, ns_tags=tags, canon_tags=tags,
             wants=wants, assume_padded=True, block_n=bn))
+    if "packed" in want_paths:
+        # quasi-exact packed selection (ops/topk.py): the auto-mode serving
+        # path for bf16/int8 corpora below the bucketed threshold
+        paths["pallas_packed"] = measure(lambda: fused_matmul_topk(
+            qj, xj, k, db_scales=scales, ns_tags=tags, canon_tags=tags,
+            wants=wants, assume_padded=True, block_n=bn, mode="packed"))
     if "bucketed" in want_paths:
         paths["pallas_bucketed"] = measure(lambda: fused_matmul_topk(
             qj, xj, k, db_scales=scales, ns_tags=tags, canon_tags=tags,
