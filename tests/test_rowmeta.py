@@ -157,3 +157,63 @@ def test_auto_vacuum_on_rebuild():
     assert len(idx._rowmeta) == 100  # vacuumed during snapshot rebuild
     assert idx.count() == 100
     assert all(len(r) == 5 for r in res.ids)
+
+
+def test_concurrent_search_vs_vacuum_churn():
+    """Race safety (SURVEY §5): searches run lock-free against snapshots
+    while another thread churns upserts/deletes and triggers auto-vacuums.
+    Every result must be internally consistent — a hit's id must map to the
+    document stored for that id — and nothing may raise."""
+    import threading
+
+    dim = 16
+    idx = FlatIndex(dim, use_pallas=False)
+    idx.incremental = False          # full rebuild (+ possible vacuum) per add
+    ids = [f"d{i}" for i in range(200)]
+    docs = {i: f"doc {i}" for i in ids}
+    idx.add(ids, _rows(200, dim), [docs[i] for i in ids],
+            [{"namespace": "a"} for _ in ids])
+    stop = threading.Event()
+    errors: list = []
+
+    def churn():
+        s = 0
+        while not stop.is_set():
+            s += 1
+            sub = ids[(7 * s) % 150:][:40]
+            try:
+                idx.add(sub, _rows(40, dim, seed=s),
+                        [docs[i] for i in sub],
+                        [{"namespace": "a"} for _ in sub])
+                if s % 3 == 0:
+                    idx.delete(ids=[ids[(11 * s) % 200]])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    def searcher():
+        q = _rows(2, dim, seed=99)
+        while not stop.is_set():
+            try:
+                res = idx.search(q, 5)
+                for ids_q, docs_q in zip(res.ids, res.documents):
+                    for rid, doc in zip(ids_q, docs_q):
+                        if docs.get(rid) != doc:
+                            errors.append(AssertionError(
+                                f"id/doc mismatch: {rid} -> {doc!r}"))
+                            return
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=churn)] + \
+        [threading.Thread(target=searcher) for _ in range(2)]
+    for t in threads:
+        t.start()
+    import time as _time
+    _time.sleep(4.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors[:3]
+    assert idx.vacuum() >= 0  # index still coherent afterwards
