@@ -47,26 +47,23 @@ def save_index(index: FlatIndex, path: str | Path) -> None:
         tmp = p / "vectors.f32.tmp"
         count = index._arena.write_rows(tmp, rows=live)
         os.replace(tmp, p / "vectors.f32")
-        with open(p / "ids.json", "w", encoding="utf-8") as f_ids, \
+        # ids as jsonl (format v2): the loader streams all three row files
+        # line by line — no 100M-entry list materializes on open
+        with open(p / "ids.jsonl", "w", encoding="utf-8") as f_ids, \
                 open(p / "meta.jsonl", "w", encoding="utf-8") as f_meta, \
                 open(p / "docs.jsonl", "w", encoding="utf-8") as f_docs:
-            f_ids.write("[")
-            first = True
             for rid, doc, meta in index.iter_live_rows():
-                f_ids.write(("" if first else ", ") +
-                            json.dumps(rid, ensure_ascii=False))
-                first = False
+                f_ids.write(json.dumps(rid, ensure_ascii=False) + "\n")
                 f_meta.write(json.dumps(meta, ensure_ascii=False) + "\n")
                 f_docs.write(json.dumps(doc, ensure_ascii=False) + "\n")
-            f_ids.write("]")
     manifest = {
-        "format_version": 1,
+        "format_version": 2,
         "kind": index.kind,
         "dim": index.dim,
         "dtype": index.dtype,
         "metric": index.metric,
         "count": count,
-        "files": {"vectors": "vectors.f32", "ids": "ids.json",
+        "files": {"vectors": "vectors.f32", "ids": "ids.jsonl",
                   "meta": "meta.jsonl", "docs": "docs.jsonl"},
     }
     if isinstance(index, IVFIndex):
@@ -91,7 +88,18 @@ def load_index(path: str | Path, **overrides) -> FlatIndex:
     vectors = np.memmap(p / manifest["files"]["vectors"], dtype=np.float32,
                         mode="r", shape=(count, dim)) if count else \
         np.zeros((0, dim), np.float32)
-    ids = json.loads((p / manifest["files"]["ids"]).read_text(encoding="utf-8"))
+    ids_file = p / manifest["files"]["ids"]
+    if ids_file.suffix == ".jsonl":  # format v2: stream line by line
+
+        def _ids_iter():
+            with open(ids_file, encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        yield json.loads(line)
+
+        ids = _ids_iter()
+    else:  # v1 stores (e.g. previously-built demo indexes): one JSON array
+        ids = json.loads(ids_file.read_text(encoding="utf-8"))
     ivf_cfg = manifest.get("ivf", {})
     if manifest["kind"] == "ivf":
         overrides.setdefault("nlist", ivf_cfg.get("nlist", 0))
