@@ -217,3 +217,19 @@ def test_concurrent_search_vs_vacuum_churn():
         t.join(timeout=30)
     assert not errors, errors[:3]
     assert idx.vacuum() >= 0  # index still coherent afterwards
+
+
+def test_env_knobs_wire_through(monkeypatch, tmp_path):
+    """TPU_RAG_MASTER_BACKING / TPU_RAG_DOCMETA_BACKING / TPU_RAG_MASTER_DIR
+    reach a default-constructed index (the engine builds indexes without
+    explicit kwargs, so the env is the production path)."""
+    monkeypatch.setenv("TPU_RAG_MASTER_BACKING", "disk")
+    monkeypatch.setenv("TPU_RAG_DOCMETA_BACKING", "disk")
+    monkeypatch.setenv("TPU_RAG_MASTER_DIR", str(tmp_path))
+    idx = FlatIndex(16, use_pallas=False)
+    idx.add(["a", "b"], _rows(2, 16))
+    assert idx._arena.backing == "disk"
+    assert idx._rowmeta.backing == "disk"
+    assert idx._arena.path is not None
+    assert str(idx._arena.path).startswith(str(tmp_path))
+    assert str(idx._rowmeta.disk.path).startswith(str(tmp_path))

@@ -38,7 +38,9 @@ class _DiskRows:
     """Shared SQLite backing for one index's row store + id map."""
 
     def __init__(self, dir: str | os.PathLike | None = None) -> None:
-        base = Path(dir) if dir is not None else Path(tempfile.gettempdir())
+        if dir is None:  # same default dir as the vector arena
+            dir = os.environ.get("TPU_RAG_MASTER_DIR") or tempfile.gettempdir()
+        base = Path(dir)
         base.mkdir(parents=True, exist_ok=True)
         self.path = base / f"rowmeta-{uuid.uuid4().hex}.sqlite3"
         self._conn = sqlite3.connect(self.path, check_same_thread=False)
