@@ -46,6 +46,7 @@ bn_p = default_block_n(d, 2, 16384, mode="packed")
 n_pad_p = -(-n // bn_p) * bn_p
 x_p = jnp.zeros((n_pad_p, d), jnp.bfloat16)
 t_p = jnp.zeros((n_pad_p,), jnp.int32)
+packed_ok = True
 for k in ks:
     for mode in ("exact", "bucketed", "packed"):
         bnu = bn_p if mode == "packed" else bn
@@ -53,9 +54,16 @@ for k in ks:
         fn = jax.jit(lambda q, xx, t, w, m=mode, kk=k, b=bnu: fused_matmul_topk(
             q, xx, kk, ns_tags=t, canon_tags=t, wants=w,
             assume_padded=True, block_n=b, mode=m))
-        sc, _ = fn(q, xx_u, t_u, w)
-        np.asarray(sc)
-open({marker!r}, "w").write("ok")
+        try:
+            sc, _ = fn(q, xx_u, t_u, w)
+            np.asarray(sc)
+        except Exception:
+            # a packed-mode Mosaic rejection must NOT disqualify the
+            # exact/bucketed pallas paths (serving demotes the same way)
+            if mode != "packed":
+                raise
+            packed_ok = False
+open({marker!r}, "w").write("ok packed" if packed_ok else "ok")
 print("PALLAS_OK")
 """
 
@@ -310,20 +318,23 @@ def main() -> None:
             assume_padded=True, block_n=bn_packed, mode="packed"))
         results["pallas_fused"] = measure(lambda: pallas_exact(qj, xj, tj, wants))
         results["pallas_bucketed"] = measure(lambda: pallas_bucketed(qj, xj, tj, wants))
-        if n_pad % bn_packed == 0:
-            results["pallas_packed"] = measure(
-                lambda: pallas_packed(qj, xj, tj, wants))
-        else:
-            # repad for the packed tile height (different VMEM budget)
-            n_pad_p = -(-n // bn_packed) * bn_packed
-            xp_p = np.zeros((n_pad_p, d), np.float32)
-            xp_p[:n] = x
-            tags_p = np.full((n_pad_p,), PAD_TAG, np.int32)
-            tags_p[:n] = 0
-            xj_p = jnp.asarray(xp_p, jnp.bfloat16)
-            tj_p = jnp.asarray(tags_p)
-            results["pallas_packed"] = measure(
-                lambda: pallas_packed(qj, xj_p, tj_p, wants))
+        try:
+            if n_pad % bn_packed == 0:
+                results["pallas_packed"] = measure(
+                    lambda: pallas_packed(qj, xj, tj, wants))
+            else:
+                # repad for the packed tile height (different VMEM budget)
+                n_pad_p = -(-n // bn_packed) * bn_packed
+                xp_p = np.zeros((n_pad_p, d), np.float32)
+                xp_p[:n] = x
+                tags_p = np.full((n_pad_p,), PAD_TAG, np.int32)
+                tags_p[:n] = 0
+                xj_p = jnp.asarray(xp_p, jnp.bfloat16)
+                tj_p = jnp.asarray(tags_p)
+                results["pallas_packed"] = measure(
+                    lambda: pallas_packed(qj, xj_p, tj_p, wants))
+        except Exception:
+            pass  # packed unavailable on this backend; exact/bucketed stand
 
     # headline = fastest exact-grade path: refined recall >= 0.999 vs the
     # f32 ground truth (covers exact and packed; the structurally

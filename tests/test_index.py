@@ -440,3 +440,29 @@ def test_bucketed_recall_at_scale():
     got = b.search(q, 10)
     rec = np.mean([len(set(a) & set(x)) / 10 for a, x in zip(truth.ids, got.ids)])
     assert rec >= 0.95
+
+
+def test_packed_mode_demotes_on_kernel_failure(monkeypatch):
+    """If the packed kernel is rejected by the backend compiler, auto-mode
+    serving must demote to the exact kernel and answer the query (never
+    surface a 500) — the Mosaic-rejection safety net."""
+    import tpu_rag.index.flat as flat_mod
+
+    orig = flat_mod.fused_matmul_topk
+
+    def failing(*a, **kw):
+        if kw.get("mode") == "packed":
+            raise RuntimeError("simulated mosaic rejection")
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(flat_mod, "fused_matmul_topk", failing)
+    ids, vecs, docs, metas = _corpus(n=600, d=64)
+    idx = FlatIndex(64, dtype="bfloat16", use_pallas=True)
+    idx.add(ids, vecs, docs, metas)
+    assert idx.effective_search_mode(600) == "packed"
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((2, 64)).astype(np.float32)
+    res = idx.search(q, 5)              # demotes internally, then retries
+    assert all(len(r) == 5 for r in res.ids)
+    assert not idx._packed_ok
+    assert idx.effective_search_mode(600) == "exact"

@@ -228,6 +228,9 @@ class FlatIndex:
         # reclaim host arena/row-store space for tombstoned rows whenever a
         # full device rebuild happens with > max_dead_fraction dead rows
         self.auto_vacuum = True
+        # flips False if the packed kernel fails on this backend (Mosaic
+        # rejection safety net — auto mode then serves plain exact)
+        self._packed_ok = True
         self._pending_add: list[int] = []      # host rows awaiting device append
         self._pending_dead: list[int] = []     # host rows awaiting device kill
         self._append_rows: np.ndarray | None = None  # append slot -> host row
@@ -761,9 +764,22 @@ class FlatIndex:
             return self.search_mode
         if n >= self.auto_bucketed_min_rows:
             return "bucketed"
-        if self.dtype in ("bfloat16", "int8") and self.refine_factor > 0:
+        if (self._packed_ok and self.dtype in ("bfloat16", "int8")
+                and self.refine_factor > 0):
             return "packed"
         return "exact"
+
+    def _demote_packed(self, err: Exception) -> None:
+        """The packed kernel failed to compile/run on this backend: demote
+        auto-mode to plain exact for this index (the packed tile height
+        10752 is 2x exact's 5376, so existing snapshots stay tileable) and
+        let callers retry."""
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "packed selection unavailable on this backend (%s); "
+            "auto mode demoted to exact", err)
+        self._packed_ok = False
 
     def search(
         self,
@@ -817,8 +833,15 @@ class FlatIndex:
                     q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
                     wants=w, block_n=bn, assume_padded=True, mode=mode))
                 self._xla_fn_cache[("pallas", k_scan, snap["bn"], mode)] = pfn
-            sc, idx = pfn(qj, snap["vectors"], snap["scales"],
-                          snap["ns"], snap["canon"], wants)
+            try:
+                sc, idx = pfn(qj, snap["vectors"], snap["scales"],
+                              snap["ns"], snap["canon"], wants)
+            except Exception as e:
+                if mode != "packed":
+                    raise
+                self._demote_packed(e)  # retry on the plain exact kernel
+                return self.search(queries, k, namespace=namespace,
+                                   canonicality=canonicality)
         else:
             fn = self._xla_fn_cache.get(k_scan)
             if fn is None:
@@ -964,10 +987,20 @@ class FlatIndex:
             if have_append:
                 extras["a_r_vectors"] = snap["a_r_vectors"]
                 extras["a_r_scales"] = snap["a_r_scales"]
-        packed = np.asarray(fn(params, jnp.asarray(ids),
-                               None if mask is None else jnp.asarray(mask),
-                               snap["vectors"], snap["scales"],
-                               snap["ns"], snap["canon"], wants, extras))[:nq]
+        try:
+            packed = np.asarray(fn(params, jnp.asarray(ids),
+                                   None if mask is None else jnp.asarray(mask),
+                                   snap["vectors"], snap["scales"],
+                                   snap["ns"], snap["canon"], wants,
+                                   extras))[:nq]
+        except Exception as e:
+            if use_pallas and mode == "packed":
+                # Mosaic rejected the packed kernel: demote and let the
+                # caller fall back to the two-step path (which retries on
+                # the plain exact kernel)
+                self._demote_packed(e)
+                return None
+            raise
         sc = packed[:, :k_out].copy()
         idx = np.ascontiguousarray(packed[:, k_out:2 * k_out]).view(np.int32)
         qv_np = packed[:, 2 * k_out:].copy() if ret_qv else None

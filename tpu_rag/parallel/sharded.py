@@ -214,8 +214,15 @@ class ShardedFlatIndex(FlatIndex):
         if wants is None:
             wants = jnp.array([want_ns, want_canon], jnp.int32)
             self._wants_cache[("sharded", want_ns, want_canon)] = wants
-        sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
-                     snap["ns"], snap["canon"], wants)
+        try:
+            sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
+                         snap["ns"], snap["canon"], wants)
+        except Exception as e:
+            if mode != "packed":
+                raise
+            self._demote_packed(e)  # retry on the plain exact kernel
+            return self.search(queries, k, namespace=namespace,
+                               canonicality=canonicality)
         sc, gid = np.asarray(sc), np.asarray(gid)
         # padding rows sit at the end of the padded array, so a global padded
         # index < n equals the live-row position directly
