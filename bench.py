@@ -100,8 +100,21 @@ def _pallas_preflight(n, d, k, qbatch) -> bool:
     ks = tuple(sorted({int(k), 10}))  # serving k_scan + the scale section's k
     marker = _preflight_marker(n, d, ks, qbatch)
     cache_dir = os.getenv("JAX_COMPILATION_CACHE_DIR") or "/tmp/tpu_rag_jax_cache"
+
+    def _marker_state():
+        """(pallas_ok, packed_ok) from the marker content — the child
+        records whether the packed kernel compiled ("ok packed") so reruns
+        never re-attempt a known-failing (possibly hanging) packed compile
+        in the deadline-less main process."""
+        try:
+            content = open(marker).read()
+        except OSError:
+            return False, False
+        return True, "packed" in content
+
     if os.path.isfile(marker) and os.path.isdir(cache_dir) and os.listdir(cache_dir):
-        return True, False
+        ok, packed_ok = _marker_state()
+        return ok, False, packed_ok
     repo = os.path.dirname(os.path.abspath(__file__))
     code = _PREFLIGHT_SNIPPET.format(repo=repo, n=n, d=d, ks=ks, qbatch=qbatch,
                                      marker=marker)
@@ -112,15 +125,16 @@ def _pallas_preflight(n, d, k, qbatch) -> bool:
         deadline = time.time() + PREFLIGHT_SECONDS
         while time.time() < deadline:
             if proc.poll() is not None:
-                return os.path.isfile(marker), False
+                ok, packed_ok = _marker_state()
+                return ok, False, packed_ok
             time.sleep(2)
         # Child left running: it will warm the cache + marker for the next
         # run.  The timeout is REPORTED (preflight_timed_out) because the
         # still-compiling child shares the device with the XLA-fallback
         # numbers this run publishes — they may be contended.
-        return False, True
+        return False, True, False
     except Exception:
-        return False, False
+        return False, False, False
 
 
 def main() -> None:
@@ -216,9 +230,10 @@ def main() -> None:
 
     k_scan = refine_k_scan("bfloat16", 4, k, n)  # bf16 -> 2k oversample
     if backend_probe_timed_out or os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        use_pallas, preflight_timed_out = False, False  # skip the 900s wait
+        use_pallas, preflight_timed_out, packed_ok = False, False, False
     else:
-        use_pallas, preflight_timed_out = _pallas_preflight(n, d, k_scan, qbatch)
+        use_pallas, preflight_timed_out, packed_ok = _pallas_preflight(
+            n, d, k_scan, qbatch)
 
     # Methodology: everything pre-staged on device (pre-padded DB, tag
     # arrays, filter pair) exactly like FlatIndex's snapshot fast path;
@@ -319,6 +334,8 @@ def main() -> None:
         results["pallas_fused"] = measure(lambda: pallas_exact(qj, xj, tj, wants))
         results["pallas_bucketed"] = measure(lambda: pallas_bucketed(qj, xj, tj, wants))
         try:
+            if not packed_ok:
+                raise _SkipSection()  # preflight saw the packed compile fail
             if n_pad % bn_packed == 0:
                 results["pallas_packed"] = measure(
                     lambda: pallas_packed(qj, xj, tj, wants))
@@ -772,6 +789,8 @@ def main() -> None:
             # the candidate for closing the exact-vs-bucketed gap when a
             # caller pins exact-grade results at 10M
             try:
+                if not packed_ok:
+                    raise _SkipSection("packed preflight failed")
                 r_packed, _ = _measure10("packed", x10)
             except Exception as e:
                 r_packed = {"error": str(e)[:100]}
@@ -845,6 +864,8 @@ def main() -> None:
             r_int8_exact, ids_gt_int8 = _measure10("exact", xq8, scales=sq8,
                                                    bytes_per=1)
             try:
+                if not packed_ok:
+                    raise _SkipSection("packed preflight failed")
                 r_int8_packed, _ = _measure10("packed", xq8, scales=sq8,
                                               bytes_per=1)
             except Exception as e:
@@ -880,10 +901,13 @@ def main() -> None:
                     "bucketed", xq8, scales=sq8, bytes_per=1,
                     tags=tags10f, wants_use=wants_f)
                 rf_bucketed["recall_vs_filtered_exact"] = _frecall(ids_fb)
-                rf_packed, ids_fp = _measure10(
-                    "packed", xq8, scales=sq8, bytes_per=1,
-                    tags=tags10f, wants_use=wants_f)
-                rf_packed["recall_vs_filtered_exact"] = _frecall(ids_fp)
+                if packed_ok:
+                    rf_packed, ids_fp = _measure10(
+                        "packed", xq8, scales=sq8, bytes_per=1,
+                        tags=tags10f, wants_use=wants_f)
+                    rf_packed["recall_vs_filtered_exact"] = _frecall(ids_fp)
+                else:
+                    rf_packed = {"skipped": "packed preflight failed"}
                 filtered = {"want_ns": 3, "selectivity": 0.125,
                             "int8_exact": rf_exact,
                             "int8_bucketed": rf_bucketed,

@@ -132,7 +132,12 @@ def main() -> None:
     d, k, qbatch = args.d, args.k, args.qbatch
     dtype_bytes = 1 if dtype == "int8" else 2
     bn = default_block_n(d, dtype_bytes, 8192)
-    n_pad = -(-n // bn) * bn
+    # packed/bucketed afford taller tiles (different VMEM budget) — pad the
+    # corpus so EVERY mode runs at its own default tile height (capping the
+    # packed tile at the exact bn would underreport it by ~2x)
+    bn_tall = default_block_n(d, dtype_bytes, 4 * bn, "packed")
+    unit = int(np.lcm(bn, bn_tall))
+    n_pad = -(-n // unit) * unit
 
     if args.config.startswith("ivf"):
         _run_ivf(n, d, k, qbatch, args)
@@ -207,11 +212,12 @@ def main() -> None:
         # path for bf16/int8 corpora below the bucketed threshold
         paths["pallas_packed"] = measure(lambda: fused_matmul_topk(
             qj, xj, k, db_scales=scales, ns_tags=tags, canon_tags=tags,
-            wants=wants, assume_padded=True, block_n=bn, mode="packed"))
+            wants=wants, assume_padded=True, block_n=bn_tall, mode="packed"))
     if "bucketed" in want_paths:
         paths["pallas_bucketed"] = measure(lambda: fused_matmul_topk(
             qj, xj, k, db_scales=scales, ns_tags=tags, canon_tags=tags,
-            wants=wants, assume_padded=True, block_n=bn, mode="bucketed"))
+            wants=wants, assume_padded=True, block_n=bn_tall,
+            mode="bucketed"))
 
     bytes_scanned = n * d * dtype_bytes
     print(json.dumps({

@@ -249,33 +249,30 @@ class FlatIndex:
         # had unguarded shared mutable state — SURVEY.md §5 race detection)
         self._lock = threading.RLock()
 
-    # Tag/liveness views: writable numpy views of the live prefix.  The
-    # setters adopt a replacement array wholesale (vacuum, bulk load, the
-    # distributed loader); appends go through _append_tag_rows.
+    # Tag/liveness views: writable numpy views of the live prefix.  Bulk
+    # replacement goes through _replace_tag_rows (one atomic length update);
+    # appends through _append_tag_rows.  There are deliberately NO setters:
+    # per-array assignment would leave the shared prefix length inconsistent.
     @property
     def _ns(self) -> np.ndarray:
         return self._ns_buf[: self._tag_n]
-
-    @_ns.setter
-    def _ns(self, arr) -> None:
-        self._ns_buf = np.asarray(arr, np.int32)
-        self._tag_n = len(self._ns_buf)
 
     @property
     def _canon(self) -> np.ndarray:
         return self._canon_buf[: self._tag_n]
 
-    @_canon.setter
-    def _canon(self, arr) -> None:
-        self._canon_buf = np.asarray(arr, np.int32)
-
     @property
     def _alive(self) -> np.ndarray:
         return self._alive_buf[: self._tag_n]
 
-    @_alive.setter
-    def _alive(self, arr) -> None:
-        self._alive_buf = np.asarray(arr, bool)
+    def _replace_tag_rows(self, ns, canon, alive) -> None:
+        ns = np.asarray(ns, np.int32)
+        canon = np.asarray(canon, np.int32)
+        alive = np.asarray(alive, bool)
+        if not (len(ns) == len(canon) == len(alive)):
+            raise ValueError("tag array length mismatch")
+        self._ns_buf, self._canon_buf, self._alive_buf = ns, canon, alive
+        self._tag_n = len(ns)
 
     def _append_tag_rows(self, ns: np.ndarray, canon: np.ndarray) -> None:
         """Append g rows to the tag/liveness buffers (amortized O(g))."""
@@ -410,15 +407,20 @@ class FlatIndex:
                 self._id_to_row.drop_many(found.keys())
             if where:
                 # streamed row-order scan: RAM bounded by one rowmeta batch
-                # even with the SQLite backing (beyond-RAM corpora)
+                # even with the SQLite backing (beyond-RAM corpora); id-map
+                # drops batched into one transaction (per-row pops cost one
+                # SQLite commit each on the disk backing)
+                drop: list[str] = []
                 for row, rid, _doc, meta in self._rowmeta.iter_rows():
                     if not self._alive[row]:
                         continue
                     if all(str(meta.get(k)) == str(v) for k, v in where.items()):
                         self._alive[row] = False
-                        self._id_to_row.pop(rid, None)
+                        drop.append(rid)
                         self._note_dead(row)
                         n += 1
+                if drop:
+                    self._id_to_row.drop_many(drop)
         return n
 
     def count(self) -> int:
@@ -472,12 +474,8 @@ class FlatIndex:
             self._arena = new_arena
             self._rowmeta = new_rows
             self._id_to_row = new_map
-            # gather BEFORE assigning: the _ns setter shrinks the shared
-            # live-prefix length the _canon view depends on
-            new_ns, new_canon = self._ns[live], self._canon[live]
-            self._ns = new_ns
-            self._canon = new_canon
-            self._alive = np.ones(len(live), bool)
+            self._replace_tag_rows(self._ns[live], self._canon[live],
+                                   np.ones(len(live), bool))
             self._dirty = True           # next search rebuilds the snapshot
             self._pending_add.clear()
             self._pending_dead.clear()
@@ -637,6 +635,11 @@ class FlatIndex:
             snap["a_r_scales"] = jnp.zeros((cap,), jnp.float32)
         self._append_rows = np.full((cap,), -1, np.int64)
         self._append_slot = {}
+        # generation-pin the slot->host-row map on the snapshot: a rebuild
+        # (possibly after a vacuum that renumbered rows) allocates a FRESH
+        # map, and lock-free readers must resolve append hits through the
+        # map of the generation they hold (same rationale as rowmeta_ref)
+        snap["a_rows_map"] = self._append_rows
 
     def device_snapshot(self) -> dict[str, Any]:
         with self._lock:
@@ -771,15 +774,17 @@ class FlatIndex:
 
     def _demote_packed(self, err: Exception) -> None:
         """The packed kernel failed to compile/run on this backend: demote
-        auto-mode to plain exact for this index (the packed tile height
-        10752 is 2x exact's 5376, so existing snapshots stay tileable) and
-        let callers retry."""
+        auto-mode to plain exact for this index and force a snapshot
+        rebuild (the exact-mode tile height does not divide the packed
+        padding for every dim, so the padded layout must be recomputed)."""
         import logging
 
         logging.getLogger(__name__).warning(
             "packed selection unavailable on this backend (%s); "
             "auto mode demoted to exact", err)
         self._packed_ok = False
+        with self._lock:
+            self._dirty = True
 
     def search(
         self,
@@ -837,7 +842,11 @@ class FlatIndex:
                 sc, idx = pfn(qj, snap["vectors"], snap["scales"],
                               snap["ns"], snap["canon"], wants)
             except Exception as e:
-                if mode != "packed":
+                # retry only if demotion actually changes the mode — an
+                # EXPLICIT search_mode="packed" must surface the real error,
+                # not recurse (effective_search_mode ignores _packed_ok for
+                # explicit modes)
+                if mode != "packed" or self.search_mode != "auto":
                     raise
                 self._demote_packed(e)  # retry on the plain exact kernel
                 return self.search(queries, k, namespace=namespace,
@@ -994,7 +1003,7 @@ class FlatIndex:
                                    snap["ns"], snap["canon"], wants,
                                    extras))[:nq]
         except Exception as e:
-            if use_pallas and mode == "packed":
+            if use_pallas and mode == "packed" and self.search_mode == "auto":
                 # Mosaic rejected the packed kernel: demote and let the
                 # caller fall back to the two-step path (which retries on
                 # the plain exact kernel)
@@ -1010,9 +1019,10 @@ class FlatIndex:
         hrows = self._device_to_host_rows(sc, np.where(in_append, -1, idx),
                                           snap["rows"], snap["n"])
         if have_append and in_append.any():
-            slots = np.clip(idx - n_pad, 0, len(self._append_rows) - 1)
+            rows_map = snap.get("a_rows_map", self._append_rows)
+            slots = np.clip(idx - n_pad, 0, len(rows_map) - 1)
             hrows = np.where(in_append & np.isfinite(sc),
-                             self._append_rows[slots], hrows)
+                             rows_map[slots], hrows)
         if snap.get("a_fill", 0) > 0 and not have_append:
             sc, hrows = self._merge_append_block(jnp.asarray(qv_np), sc, hrows,
                                                  snap, k_scan, wants)
@@ -1039,9 +1049,11 @@ class FlatIndex:
         sc_a, idx_a = fn(qj, snap["a_vectors"], snap["a_scales"],
                          snap["a_ns"], snap["a_canon"], wants)
         sc_a, idx_a = np.asarray(sc_a), np.asarray(idx_a)
+        # resolve through the snapshot's own slot->row map generation
+        rows_map = snap.get("a_rows_map", self._append_rows)
         hrows_a = np.where(
             (idx_a >= 0) & np.isfinite(sc_a),
-            self._append_rows[np.clip(idx_a, 0, len(self._append_rows) - 1)], -1)
+            rows_map[np.clip(idx_a, 0, len(rows_map) - 1)], -1)
         all_sc = np.concatenate([sc, sc_a], axis=1)
         all_hr = np.concatenate([hrows, hrows_a], axis=1)
         all_sc = np.where(all_hr >= 0, all_sc, -np.inf)
@@ -1211,7 +1223,5 @@ class FlatIndex:
             _flush()
             if row != count:
                 raise ValueError(f"bulk adopt: expected {count} rows, got {row}")
-            self._ns = ns
-            self._canon = canon
-            self._alive = np.ones(count, bool)
+            self._replace_tag_rows(ns, canon, np.ones(count, bool))
             self._dirty = True

@@ -4,9 +4,10 @@ The TPU equivalent of Chroma's persist dir (reference vector_store/ —
 chroma.sqlite3 + hnswlib data_level0.bin/link_lists.bin segments): a
 directory per collection holding
 
-    manifest.json   — dims, dtype, metric, kind, counts, shard list
+    manifest.json   — dims, dtype, metric, kind, counts, file names
     vectors.f32     — row-major float32 master vectors
-    ids.json        — string ids (row order)
+    ids.jsonl       — one JSON-encoded id per row (format v2; v1 stores
+                      carry a single-array ids.json, loaded back-compat)
     meta.jsonl      — one metadata JSON object per row
     docs.jsonl      — one JSON-encoded document string per row
 
@@ -28,6 +29,20 @@ from tpu_rag.index.flat import FlatIndex
 from tpu_rag.index.ivf import IVFIndex
 
 MANIFEST = "manifest.json"
+
+
+def iter_store_ids(ids_file: Path):
+    """Yield the store's ids in row order.  Format v2 streams ids.jsonl
+    line by line; v1 stores (a single JSON array in ids.json — e.g.
+    previously-built demo indexes) load whole and iterate."""
+    ids_file = Path(ids_file)
+    if ids_file.suffix == ".jsonl":
+        with open(ids_file, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    yield json.loads(line)
+        return
+    yield from json.loads(ids_file.read_text(encoding="utf-8"))
 
 
 def save_index(index: FlatIndex, path: str | Path) -> None:
@@ -88,18 +103,7 @@ def load_index(path: str | Path, **overrides) -> FlatIndex:
     vectors = np.memmap(p / manifest["files"]["vectors"], dtype=np.float32,
                         mode="r", shape=(count, dim)) if count else \
         np.zeros((0, dim), np.float32)
-    ids_file = p / manifest["files"]["ids"]
-    if ids_file.suffix == ".jsonl":  # format v2: stream line by line
-
-        def _ids_iter():
-            with open(ids_file, encoding="utf-8") as f:
-                for line in f:
-                    if line.strip():
-                        yield json.loads(line)
-
-        ids = _ids_iter()
-    else:  # v1 stores (e.g. previously-built demo indexes): one JSON array
-        ids = json.loads(ids_file.read_text(encoding="utf-8"))
+    ids = iter_store_ids(p / manifest["files"]["ids"])
     ivf_cfg = manifest.get("ivf", {})
     if manifest["kind"] == "ivf":
         overrides.setdefault("nlist", ivf_cfg.get("nlist", 0))

@@ -110,18 +110,9 @@ def load_sharded_flat_distributed(path, *, mesh=None, axis: str = "data",
     # SQLite with TPU_RAG_DOCMETA_BACKING=disk), the exact-refine master
     # copy is a read-only memmap adopted zero-copy — only the few rows a
     # refine touches ever page in
-    ids_file = p / manifest["files"]["ids"]
-    if ids_file.suffix == ".jsonl":  # format v2: stream line by line
+    from tpu_rag.index.store import iter_store_ids
 
-        def _ids_iter():
-            with open(ids_file, encoding="utf-8") as f:
-                for line in f:
-                    if line.strip():
-                        yield _json.loads(line)
-
-        ids = _ids_iter()
-    else:  # v1: one JSON array
-        ids = _json.loads(ids_file.read_text(encoding="utf-8"))
+    ids = iter_store_ids(p / manifest["files"]["ids"])
 
     def _doc_meta_iter():
         with open(p / manifest["files"]["meta"], encoding="utf-8") as fm, \

@@ -218,8 +218,8 @@ class ShardedFlatIndex(FlatIndex):
             sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
                          snap["ns"], snap["canon"], wants)
         except Exception as e:
-            if mode != "packed":
-                raise
+            if mode != "packed" or self.search_mode != "auto":
+                raise  # explicit packed must surface the real error
             self._demote_packed(e)  # retry on the plain exact kernel
             return self.search(queries, k, namespace=namespace,
                                canonicality=canonicality)
