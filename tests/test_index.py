@@ -466,3 +466,40 @@ def test_packed_mode_demotes_on_kernel_failure(monkeypatch):
     assert all(len(r) == 5 for r in res.ids)
     assert not idx._packed_ok
     assert idx.effective_search_mode(600) == "exact"
+
+
+def test_auto_dtype_resolves_and_crosses_threshold(tmp_path):
+    """INDEX_DTYPE=auto: bf16 below auto_int8_min_rows, int8 at/above; a
+    corpus crossing the threshold rebuilds the snapshot in int8 and the
+    f32 refine keeps results consistent."""
+    idx = FlatIndex(32, dtype="auto", use_pallas=False)
+    idx.auto_int8_min_rows = 500
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    ids = [f"d{i}" for i in range(600)]
+    idx.add(ids[:400], x[:400])
+    assert idx.dtype == "bfloat16"
+    q = rng.standard_normal((2, 32)).astype(np.float32)
+    r1 = idx.search(q, 5)
+    assert idx.device_snapshot()["dtype"] == "bfloat16"
+    idx.add(ids[400:], x[400:])          # crosses the threshold
+    assert idx.dtype == "int8"
+    r2 = idx.search(q, 5)                # rebuild happens inside
+    assert idx.device_snapshot()["dtype"] == "int8"
+    assert all(len(r) == 5 for r in r2.ids)
+    # the refine keeps int8 results aligned with exact f32 ground truth
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    truth = np.argsort(-(qn @ xn.T), axis=1)[:, :5]
+    got = [[ids.index(i) for i in row] for row in r2.ids]
+    rec = np.mean([len(set(got[i]) & set(truth[i])) / 5 for i in range(2)])
+    assert rec >= 0.9
+    # persistence round-trips the UNRESOLVED config
+    save_index(idx, tmp_path / "st")
+    import json as _json
+    man = _json.loads((tmp_path / "st" / "manifest.json").read_text())
+    assert man["dtype"] == "auto"
+    loaded = load_index(tmp_path / "st", use_pallas=False)
+    assert loaded.dtype_config == "auto" and loaded.dtype == "bfloat16"
+    loaded.auto_int8_min_rows = 500
+    assert loaded.dtype == "int8"

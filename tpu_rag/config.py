@@ -73,11 +73,16 @@ class Config:
     model_priority: tuple[str, ...] = ("ollama", "openai")
 
     # --- TPU index engine ---
-    index_dtype: str = "bfloat16"       # bfloat16 | float32 | int8
+    index_dtype: str = "auto"           # auto | bfloat16 | float32 | int8
+                                        # ("auto" = bf16 below 2M rows, int8
+                                        # at/above — the scan is HBM-bound at
+                                        # scale, int8 halves the bytes, and
+                                        # the f32 refine keeps recall >= 0.99;
+                                        # see FlatIndex.dtype)
     index_kind: str = "flat"            # flat | ivf
-    index_search_mode: str = "auto"     # auto | exact | bucketed ("auto" = exact
-                                        # below 2M rows, bucketed above — see
-                                        # FlatIndex.effective_search_mode)
+    index_search_mode: str = "auto"     # auto | packed/exact below 2M rows,
+                                        # bucketed above — see
+                                        # FlatIndex.effective_search_mode
     block_n: int = 8192                 # db rows per Pallas tile (cap; VMEM budget may lower it)
     ivf_nlist: int = 0                  # 0 = auto (~sqrt(N))
     ivf_nprobe: int = 8

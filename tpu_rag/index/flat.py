@@ -159,8 +159,16 @@ class FlatIndex:
     ) -> None:
         if metric not in ("cosine", "ip"):
             raise ValueError(f"unsupported metric: {metric}")
+        if dtype not in ("bfloat16", "float32", "int8", "auto"):
+            raise ValueError(f"unsupported index dtype: {dtype}")
         self.dim = dim
-        self.dtype = dtype
+        # "auto" resolves per corpus size (see the dtype property): bf16
+        # below auto_int8_min_rows, int8 at/above — at scale the scan is
+        # HBM-bandwidth-bound, int8 halves the bytes, and the always-on
+        # two-stage refine re-scores candidates in f32 (recall CI-gated
+        # >= 0.99; VERDICT r2 #4 "int8-by-default >= 2M rows").
+        self._dtype_cfg = dtype
+        self.auto_int8_min_rows = 2_000_000
         self.metric = metric
         self.use_pallas = use_pallas
         self.block_n = block_n
@@ -264,6 +272,25 @@ class FlatIndex:
     @property
     def _alive(self) -> np.ndarray:
         return self._alive_buf[: self._tag_n]
+
+    @property
+    def dtype(self) -> str:
+        """Storage dtype, resolved: "auto" -> bf16 below auto_int8_min_rows,
+        int8 at/above (device_snapshot rebuilds when a corpus crosses the
+        threshold — the snapshot records the dtype it was built with)."""
+        if self._dtype_cfg != "auto":
+            return self._dtype_cfg
+        return ("int8" if len(self._alive) and int(self._alive.sum()) >= self.auto_int8_min_rows
+                else "bfloat16")
+
+    @dtype.setter
+    def dtype(self, value: str) -> None:
+        self._dtype_cfg = value
+
+    @property
+    def dtype_config(self) -> str:
+        """The configured (unresolved) dtype — what persistence records."""
+        return self._dtype_cfg
 
     def _replace_tag_rows(self, ns, canon, alive) -> None:
         ns = np.asarray(ns, np.int32)
@@ -643,6 +670,9 @@ class FlatIndex:
 
     def device_snapshot(self) -> dict[str, Any]:
         with self._lock:
+            if (self._device is not None and not self._dirty
+                    and self._device.get("dtype", self.dtype) != self.dtype):
+                self._dirty = True  # auto dtype crossed its row threshold
             if self._dirty or self._device is None:
                 # a full rebuild is the natural moment to also reclaim the
                 # HOST copies of tombstoned rows (vacuum renumbers, and the
@@ -657,6 +687,10 @@ class FlatIndex:
                 # their snapshot was built from, never the current ones
                 self._device["rowmeta_ref"] = self._rowmeta
                 self._device["arena_ref"] = self._arena
+                # the dtype this snapshot was built with ("auto" indexes
+                # rebuild when the resolved dtype flips; the incremental
+                # flushes quantize/cast for the SNAPSHOT's dtype)
+                self._device["dtype"] = self.dtype
                 self._dirty = False
                 self._pending_add.clear()
                 self._pending_dead.clear()
@@ -724,12 +758,13 @@ class FlatIndex:
             canon = np.full((APPEND_GRANULE,), PAD_TAG, np.int32)
             ns[:g] = self._ns[chunk_rows]
             canon[:g] = self._canon[chunk_rows]
-            if self.dtype == "int8":
+            snap_dtype = snap.get("dtype", self.dtype)
+            if snap_dtype == "int8":
                 vals, scales = _quantize_int8_np(vecs)
                 scales[g:] = 0.0
                 recon = vals.astype(np.float32) * scales[:, None]
             else:
-                vals = vecs.astype(jnp.bfloat16 if self.dtype == "bfloat16" else np.float32)
+                vals = vecs.astype(jnp.bfloat16 if snap_dtype == "bfloat16" else np.float32)
                 scales = np.ones((APPEND_GRANULE,), np.float32)
                 recon = vals.astype(np.float32)
             (snap["a_vectors"], snap["a_scales"], snap["a_ns"],
@@ -818,7 +853,7 @@ class FlatIndex:
         # re-score that handful exactly below.  int8 uses refine_factor;
         # bf16 (exact AND bucketed modes) uses a fixed 2x oversample — see
         # refine_k_scan and the recall gates in tests/test_incremental.py.
-        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
         # cache the filter pair as a device array: a fresh host->device
         # transfer per search costs a full RTT on tunneled backends
         wants = self._wants_cache.get((want_ns, want_canon))
@@ -897,7 +932,7 @@ class FlatIndex:
         if want_ns == -2 or want_canon == -2 or self.count() == 0:
             return None
         snap = self.device_snapshot()
-        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
         wants = self._wants_2d(want_ns, want_canon)
         b, t = ids.shape
         n_pad = snap["n_pad"]
@@ -1146,7 +1181,7 @@ class FlatIndex:
         st = {
             "kind": self.kind,
             "dim": self.dim,
-            "dtype": self.dtype,
+            "dtype": self._dtype_cfg,  # "auto" stays unresolved in state
             "metric": self.metric,
             "ids": [t[0] for t in rows],
             "metadatas": [t[2] for t in rows],

@@ -444,7 +444,7 @@ class IVFIndex(FlatIndex):
         have_main = snap["nlist"] > 0
         have_ov = len(snap["ov_rows"]) > 0
         # int8 two-stage refine (same as FlatIndex)
-        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
         key = (k_scan, nprobe, have_main, have_ov,
                snap["nlist"], len(snap["ov_rows"]))
         fn = self._ov_fn_cache.get(key)

@@ -75,7 +75,7 @@ def save_index(index: FlatIndex, path: str | Path) -> None:
         "format_version": 2,
         "kind": index.kind,
         "dim": index.dim,
-        "dtype": index.dtype,
+        "dtype": index.dtype_config,  # "auto" persists unresolved
         "metric": index.metric,
         "count": count,
         "files": {"vectors": "vectors.f32", "ids": "ids.jsonl",

@@ -86,6 +86,10 @@ def load_sharded_flat_distributed(path, *, mesh=None, axis: str = "data",
     p = Path(path)
     manifest = _json.loads((p / MANIFEST).read_text(encoding="utf-8"))
     n, dim = manifest["count"], manifest["dim"]
+    if dtype == "auto":
+        # resolve here (the snapshot below is assembled outside
+        # FlatIndex._compact): same rule as FlatIndex.dtype
+        dtype = "int8" if n >= 2_000_000 else "bfloat16"
     mesh = mesh or mesh_from_spec("")
     d_ax = mesh.shape[axis]
 

@@ -197,7 +197,7 @@ class ShardedFlatIndex(FlatIndex):
         snap = self.device_snapshot()
         # int8 two-stage refine (same as FlatIndex): oversample on the scan,
         # re-score the handful exactly on host
-        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
         # "auto" resolves per SHARD size: the corpus is sharded only over
         # self.axis, so per-shard rows = n / mesh.shape[axis] (NOT the total
         # device count — a data x model mesh shards rows over "data" only)
@@ -565,7 +565,7 @@ class ShardedIVFIndex(IVFIndex):
                                 documents=[[] for _ in range(nq)])
 
         snap = self.device_snapshot()
-        k_scan = refine_k_scan(self.dtype, self.refine_factor, k, snap["n"])
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
         if snap["nlist"] == 0:
             # base snapshot empty — every live row is in the append block
             sc = np.full((nq, k_scan), -np.inf, np.float32)
