@@ -289,3 +289,38 @@ def test_packed_negative_scores():
     rec = np.mean([len(set(ids[i]) & set(ref_ids[i])) / 10 for i in range(3)])
     assert rec >= 0.99
     assert np.all(np.isfinite(np.array(sc)))
+
+
+def test_packed_randomized_parity_sweep():
+    """Randomized shapes/k/filters: packed candidates at 2x oversample +
+    f32 re-score must recover the exact f32 top-k (the serving contract),
+    across odd n (padding), small n, k=1, filters, and negative scores."""
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        n = int(rng.integers(300, 7000))
+        d = int(rng.choice([32, 64, 128]))
+        k = int(rng.choice([1, 5, 17]))
+        qn = int(rng.integers(1, 6))
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        qs = rng.standard_normal((qn, d)).astype(np.float32)
+        qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+        ns = (np.arange(n) % 4).astype(np.int32)
+        want = int(rng.choice([-1, 2]))
+        sc, ids = fused_matmul_topk(
+            jnp.array(qs), jnp.array(x, jnp.bfloat16), 2 * k,
+            ns_tags=jnp.array(ns), want_ns=want, mode="packed")
+        ids = np.array(ids)
+        scores = qs @ x.T
+        if want >= 0:
+            scores[:, ns != want] = -np.inf
+        ref = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        hits = 0
+        for i in range(qn):
+            cand = ids[i][ids[i] >= 0]
+            if want >= 0:
+                assert all(ns[c] == want for c in cand)
+            exact = x[cand] @ qs[i]
+            top = cand[np.argsort(-exact, kind="stable")[:k]]
+            hits += len(set(top) & set(ref[i]))
+        assert hits >= 0.99 * k * qn, f"trial {trial}: {hits}/{k*qn}"
