@@ -57,6 +57,16 @@ def register(app: App, engine: RagEngine) -> None:
             "chroma_ok": index_ok,  # field name kept for client parity
             "index": {"kind": getattr(engine.index, "kind", "flat"),
                       "dtype": getattr(engine.index, "dtype", ""),
+                      "dtype_config": getattr(engine.index, "dtype_config", ""),
+                      "search_mode": getattr(engine.index, "search_mode", ""),
+                      # host-storage observability: where the master vectors
+                      # and per-row docs/metadata live (ram vs disk spill)
+                      "master_backing": getattr(
+                          getattr(engine.index, "_arena", None), "backing", ""),
+                      "docmeta_backing": getattr(
+                          getattr(engine.index, "_rowmeta", None), "backing", ""),
+                      "snapshot_stats": dict(getattr(
+                          engine.index, "snapshot_stats", {})),
                       "ok": index_ok},
             "device": device_info,
             "language_default": cfg.default_language,
