@@ -160,9 +160,20 @@ def _sortable_key(sbits):
                     & jnp.int32(0x7FFFFFFF))
 
 
+def _bitcast32(x, dtype, *, interpret: bool):
+    """Same-width bitcast inside a kernel: pltpu.bitcast is the
+    Mosaic-native lowering (the pallas guide's PRNG recipes use it);
+    interpret mode falls back to lax.bitcast_convert_type (the pltpu
+    primitive has no CPU-interpret rule)."""
+    if interpret:
+        return jax.lax.bitcast_convert_type(x, dtype)
+    return pltpu.bitcast(x, dtype)
+
+
 def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
                         qscale_ref, sc_ref, id_ref, *, k_eff: int, bn: int,
-                        qp: int, kpad: int, is_int8: bool):
+                        qp: int, kpad: int, is_int8: bool,
+                        interpret: bool = False):
     """Quasi-exact selection: pack (score high bits | lane index) into ONE
     int32 so each of the k passes is a single max-reduce plus a single
     mask-out — the packed index makes the winner unique, so no eq+min index
@@ -210,7 +221,7 @@ def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     kcol = jax.lax.broadcasted_iota(jnp.int32, (qp, kpad), 1)
     base = jnp.int32(i * bn)
 
-    key = _sortable_key(jax.lax.bitcast_convert_type(scores, jnp.int32))
+    key = _sortable_key(_bitcast32(scores, jnp.int32, interpret=interpret))
     hi = jnp.int32(-65536)  # 0xFFFF0000 as int32
     packed = (key & hi) | (jnp.int32(0xFFFF) - col)
 
@@ -227,8 +238,8 @@ def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
         # low bits zero — in particular -inf (key_hi 0x807F0000) comes back
         # as exactly -inf instead of a NaN bit pattern
         fill = jnp.where(m < 0, jnp.int32(0xFFFF), jnp.int32(0))
-        sc = jax.lax.bitcast_convert_type(
-            _sortable_key((m & hi) | fill), jnp.float32)
+        sc = _bitcast32(_sortable_key((m & hi) | fill), jnp.float32,
+                        interpret=interpret)
         sc_acc = jnp.where(kcol == j, sc, sc_acc)
         id_acc = jnp.where(kcol == j, base + idx, id_acc)
     # a slot whose winner was a masked lane carries score -inf; normalize its
@@ -360,10 +371,14 @@ def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad,
     kpad = _round_up(max(k, 1), _LANE)
     if packed and bn > 65536:
         raise ValueError("packed selection needs bn <= 65536 (16 index bits)")
-    kern = functools.partial(
-        _packed_tile_kernel if packed else _topk_tile_kernel,
-        k_eff=k, bn=bn, qp=qp, kpad=kpad, is_int8=is_int8,
-    )
+    if packed:
+        kern = functools.partial(
+            _packed_tile_kernel, k_eff=k, bn=bn, qp=qp, kpad=kpad,
+            is_int8=is_int8, interpret=interpret)
+    else:
+        kern = functools.partial(
+            _topk_tile_kernel, k_eff=k, bn=bn, qp=qp, kpad=kpad,
+            is_int8=is_int8)
     d = q_pad.shape[1]
     grid_spec = pl.GridSpec(
         grid=(nt,),
