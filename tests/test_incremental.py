@@ -221,7 +221,7 @@ def test_ivf_device_merge_absorbs_overflow():
     snap = ivf.device_snapshot()
     n7_row = ivf._id_to_row["n7"]
     assert n7_row not in set(snap["ov_rows"].tolist())
-    assert n7_row in set(ivf._main_rows.tolist())
+    assert ivf._main_slot_of[n7_row] >= 0  # member of the main partition
     # old rows unaffected
     assert ivf.search(vecs[123], 1).ids[0][0] == "v123"
 
@@ -269,3 +269,31 @@ def test_ivf_device_merge_int8():
     assert ivf.snapshot_stats.get("ivf_device_merges", 0) >= 35
     for i in (0, 21, 39):
         assert ivf.search(newv[i], 1).ids[0][0] == f"q{i}"
+
+
+def test_ivf_host_bookkeeping_is_one_int32_map():
+    """ROADMAP host-RAM item: per-row IVF bookkeeping must be exactly one
+    dense int32 slot map (4 bytes/row) — membership is derived from it, so
+    there is no separate row-list array to double the footprint."""
+    ids, vecs, metas = _mk(1500, seed=16)
+    ivf = IVFIndex(32, dtype="float32", nlist=12, nprobe=12, use_pallas=False)
+    ivf.add(ids, vecs, None, metas)
+    ivf.search(vecs[0], 1)
+    assert not hasattr(ivf, "_main_rows")
+    assert ivf._main_slot_of.dtype == np.int32
+    # main membership derived from the map covers (almost) the whole corpus
+    in_main = np.flatnonzero(ivf._main_slot_of >= 0)
+    assert len(in_main) >= 1400
+
+    # device-merge path extends the map, still int32
+    new = np.full((3, 32), 0.42, np.float32)
+    ivf.add(["a0", "a1", "a2"], new, None, [{}] * 3)
+    ivf.compact()
+    assert ivf._main_slot_of.dtype == np.int32
+    # delete AFTER compact(): _note_dead stages nothing once _dirty is set,
+    # so the kill must come from the reuse-path dead-main sweep in _compact
+    # (this sequence silently resurrected deleted rows before the sweep)
+    ivf.delete(ids=["v7"])
+    assert "v7" not in ivf.search(vecs[7], 3).ids[0]
+    # the post-compact() snapshot reused the device lists (no k-means rerun)
+    assert ivf.snapshot_stats.get("ivf_device_merges", 0) >= 3

@@ -125,8 +125,14 @@ class IVFIndex(FlatIndex):
         self.rebuild_ratio = rebuild_ratio
         self.list_cap_factor = list_cap_factor
         self.seed = seed
-        self._main_rows: np.ndarray = np.zeros((0,), np.int64)  # host rows in IVF lists
-        self._main_slot_of: np.ndarray = np.zeros((0,), np.int64)  # host row -> list*cap+slot
+        # host row -> flattened list*cap+slot position in the device lists
+        # (-1 = not in the main partition).  int32: the flattened main
+        # partition is a resident device array, so nlist*cap is bounded far
+        # below 2**31 (asserted at build).  This dense map is the ONLY
+        # per-row IVF bookkeeping kept on host (4 bytes/row; the old
+        # int64 row list + int64 slot map was 16): membership is derived
+        # as flatnonzero(_main_slot_of >= 0) where needed.
+        self._main_slot_of: np.ndarray = np.zeros((0,), np.int32)
         self._ov_fn_cache: dict[int, Any] = {}  # jitted overflow search per k
         self._cached_centroids: np.ndarray | None = None  # persisted / last build
         self._centroids_trained_n = 0
@@ -142,8 +148,7 @@ class IVFIndex(FlatIndex):
     def _on_vacuum(self) -> None:
         # host rows renumbered: the list-membership maps carry OLD row
         # numbers — drop them so the next _compact rebuilds from scratch
-        self._main_rows = np.zeros((0,), np.int64)
-        self._main_slot_of = np.zeros((0,), np.int64)
+        self._main_slot_of = np.zeros((0,), np.int32)
         self._list_fill = None
 
     def _compact(self) -> dict[str, Any]:
@@ -152,7 +157,12 @@ class IVFIndex(FlatIndex):
         snap: dict[str, Any] = {"rows": live, "n": n}
         overflow_mask = np.ones(n, bool)
 
-        main_rows = self._main_rows[np.isin(self._main_rows, live)] if len(self._main_rows) else np.zeros((0,), np.int64)
+        # main-partition membership is derived from the slot map: a host row
+        # is "main" iff it has a list slot.  Dead main rows keep their slot
+        # until the next rebuild (the device-side aliveness filter hides
+        # them), so intersect with the live set here.
+        in_main = np.flatnonzero(self._main_slot_of >= 0)
+        main_rows = in_main[self._alive[in_main]] if len(in_main) else np.zeros((0,), np.int64)
         overflow = n - len(main_rows)
         need_rebuild = (
             len(main_rows) == 0
@@ -160,7 +170,6 @@ class IVFIndex(FlatIndex):
         )
         if need_rebuild and n > 0:
             main_rows = live
-            self._main_rows = live.astype(np.int64)
 
         prev = self._device
         reuse_centroids = (
@@ -184,6 +193,15 @@ class IVFIndex(FlatIndex):
             for key in ("vec_lists", "scale_lists", "centroids", "ns_lists",
                         "canon_lists", "row_lists", "nlist"):
                 snap[key] = prev[key]
+            # Dead main rows still occupy the reused list slots, and their
+            # incremental tag kills may have been SKIPPED: _note_dead stages
+            # nothing once _dirty is set (compact()/threshold), expecting a
+            # full rebuild to drop them — but this branch keeps the old
+            # lists.  Re-kill every dead-but-slotted row here; idempotent
+            # for rows already tag-killed in place.
+            dead_main = in_main[~self._alive[in_main]] if len(in_main) else in_main
+            if len(dead_main):
+                self._kill_main_slots(snap, self._main_slot_of[dead_main])
             overflow_mask[np.isin(live, main_rows)] = False
             # streaming build: absorb overflow rows into the resident lists
             # on device (assignment matmul + chunked scatter — transfer is
@@ -236,19 +254,18 @@ class IVFIndex(FlatIndex):
 
             fits_np = np.asarray(fits)
             order_np = np.asarray(order)
-            in_lists_rows = main_rows[order_np[fits_np]]
-            if len(in_lists_rows) < len(main_rows):
-                # spilled rows leave the IVF partition; overflow handles them
-                self._main_rows = np.sort(in_lists_rows).astype(np.int64)
+            # cap-spilled rows simply get no slot; overflow handles them
 
             # host map: main host row -> flattened (list, slot) position, so
             # later deletions can tag-kill main rows in place on device.
             # Mirrors the slot math in ops/ivf_build.group_lists.
+            in_lists_rows = main_rows[order_np[fits_np]]
+            assert nlist * cap < 2**31  # flattened slots must fit int32
             sorted_assign = assign[order_np]
             starts = np.searchsorted(sorted_assign, np.arange(nlist))
             slots = np.arange(len(sorted_assign)) - starts[sorted_assign]
-            slot_map = np.full(len(self._ids), -1, np.int64)
-            slot_map[in_lists_rows] = (sorted_assign * cap + slots)[fits_np]
+            slot_map = np.full(len(self._ids), -1, np.int32)
+            slot_map[in_lists_rows] = (sorted_assign * cap + slots)[fits_np].astype(np.int32)
             self._main_slot_of = slot_map
             # per-list occupancy, the device-merge path's free-slot ledger
             self._list_fill = np.bincount(sorted_assign[fits_np],
@@ -349,26 +366,38 @@ class IVFIndex(FlatIndex):
                 jnp.asarray(ns_np[idx]), jnp.asarray(canon_np[idx]),
                 jnp.asarray(rows_np[idx]))
 
-        # host bookkeeping: merged rows are main now
+        # host bookkeeping: merged rows are main now (membership IS the
+        # slot map — see _compact)
         merged = ov_rows[sel]
         self._list_fill = fill + np.bincount(assign[sel], minlength=nlist)
-        self._main_rows = np.sort(np.concatenate(
-            [self._main_rows, merged.astype(np.int64)]))
         if len(self._main_slot_of) < len(self._ids):
             self._main_slot_of = np.concatenate(
                 [self._main_slot_of,
-                 np.full(len(self._ids) - len(self._main_slot_of), -1, np.int64)])
-        self._main_slot_of[merged] = assign[sel] * cap + slots[sel]
+                 np.full(len(self._ids) - len(self._main_slot_of), -1, np.int32)])
+        self._main_slot_of[merged] = (assign[sel] * cap + slots[sel]).astype(np.int32)
         self.snapshot_stats["ivf_device_merges"] = (
             self.snapshot_stats.get("ivf_device_merges", 0) + int(sel.sum()))
         return ov_rows[~sel]
+
+    def _kill_main_slots(self, snap: dict[str, Any], slots) -> None:
+        """Tag-kill main-partition rows on device, addressed by flattened
+        list*cap+slot positions (chunked uploads, KILL_GRANULE granule)."""
+        from tpu_rag.index.flat import KILL_GRANULE, _kill_tags_2d_device
+
+        arr = np.asarray(slots, np.int32)
+        for i in range(0, len(arr), KILL_GRANULE):
+            chunk = arr[i:i + KILL_GRANULE]
+            if len(chunk) < KILL_GRANULE:  # pad with a repeat (idempotent set)
+                chunk = np.concatenate(
+                    [chunk, np.full(KILL_GRANULE - len(chunk), chunk[0], np.int32)])
+            snap["ns_lists"], snap["canon_lists"] = _kill_tags_2d_device(
+                snap["ns_lists"], snap["canon_lists"], jnp.asarray(chunk))
 
     def _flush_kills(self, snap: dict[str, Any]) -> None:
         """IVF deletions tag-kill in place on device, wherever the row lives:
         the append block, the main inverted lists (via the host slot map), or
         the exact-overflow buffer.  Transfer is O(deleted rows)."""
-        from tpu_rag.index.flat import (KILL_GRANULE, _kill_tags_2d_device,
-                                        _kill_tags_device)
+        from tpu_rag.index.flat import KILL_GRANULE, _kill_tags_device
 
         append_slots, main_slots, ov_pos = [], [], []
         ov_rows = snap.get("ov_rows", np.zeros((0,), np.int64))
@@ -400,9 +429,8 @@ class IVFIndex(FlatIndex):
         for chunk in chunked(ov_pos):
             snap["ov_ns"], snap["ov_canon"] = _kill_tags_device(
                 snap["ov_ns"], snap["ov_canon"], chunk)
-        for chunk in chunked(main_slots):
-            snap["ns_lists"], snap["canon_lists"] = _kill_tags_2d_device(
-                snap["ns_lists"], snap["canon_lists"], chunk)
+        if main_slots:
+            self._kill_main_slots(snap, main_slots)
         self.snapshot_stats["incremental_kills"] += (
             len(append_slots) + len(main_slots) + len(ov_pos))
 
