@@ -325,8 +325,11 @@ class ShardedIVFIndex(IVFIndex):
         # tombstones pass max_dead_fraction.
         self.incremental = True
         self._sharded_kill = None
-        self._s_slot_of = np.zeros((0,), np.int64)  # host row -> s*nlist*cap+li*cap+si
-        self._s_ov_of = np.zeros((0,), np.int64)    # host row -> s*ov_cap+pos
+        # int32 dense maps (4 bytes/row each): flattened positions index
+        # device-resident arrays, so they are bounded far below 2**31
+        # (asserted at build)
+        self._s_slot_of = np.zeros((0,), np.int32)  # host row -> s*nlist*cap+li*cap+si
+        self._s_ov_of = np.zeros((0,), np.int32)    # host row -> s*ov_cap+pos
         self._sivf_fns: dict[tuple, Any] = {}
 
     def _mesh(self) -> Mesh:
@@ -337,8 +340,8 @@ class ShardedIVFIndex(IVFIndex):
 
     def _on_vacuum(self) -> None:
         # host rows renumbered: the shard slot maps carry OLD row numbers
-        self._s_slot_of = np.zeros((0,), np.int64)
-        self._s_ov_of = np.zeros((0,), np.int64)
+        self._s_slot_of = np.zeros((0,), np.int32)
+        self._s_ov_of = np.zeros((0,), np.int32)
         self._sharded_kill = None
 
     def _compact(self) -> dict[str, Any]:
@@ -354,8 +357,8 @@ class ShardedIVFIndex(IVFIndex):
         n = len(live)
         self._sivf_fns.clear()
         snap: dict[str, Any] = {"rows": live, "n": n, "nlist": 0}
-        self._s_slot_of = np.full(len(self._ids), -1, np.int64)
-        self._s_ov_of = np.full(len(self._ids), -1, np.int64)
+        self._s_slot_of = np.full(len(self._ids), -1, np.int32)
+        self._s_ov_of = np.full(len(self._ids), -1, np.int32)
         if n == 0:
             if self.incremental:
                 self._alloc_append_block(snap)
@@ -460,10 +463,11 @@ class ShardedIVFIndex(IVFIndex):
         slots = np.arange(len(a)) - starts[sa]
         fits = slots < cap
         in_rows = rows_s[order[fits]]
-        self._s_slot_of[in_rows] = s * nlist * cap + (sa * cap + slots)[fits]
+        assert (s + 1) * nlist * cap < 2**31  # flattened slots must fit int32
+        self._s_slot_of[in_rows] = (s * nlist * cap + (sa * cap + slots)[fits]).astype(np.int32)
         sp_pos = order[~fits]
         sp_rows = rows_s[sp_pos]
-        self._s_ov_of[sp_rows] = s * ov_cap + np.arange(len(sp_rows))
+        self._s_ov_of[sp_rows] = (s * ov_cap + np.arange(len(sp_rows))).astype(np.int32)
 
         if self.dtype == "int8":
             vals, scales = quantize_int8_rows(vec_l.reshape(-1, self.dim))
