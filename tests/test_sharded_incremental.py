@@ -222,3 +222,35 @@ def test_sharded_ivf_build_host_ram_bounded():
     # and the build is correct
     r = ivf.search(vecs[17], 1)
     assert r.ids[0][0] == "v17"
+
+
+@pytest.mark.parametrize("dtype", ["int8", "bfloat16"])
+def test_sharded_flat_build_host_ram_bounded(dtype):
+    """Same host-RAM bound for the sharded FLAT build: the old path staged
+    the whole padded (n_pad, dim) f32 corpus (plus a full int8 quantize
+    staging copy) on host; the streamed build materializes one device's
+    block at a time, so peak host allocation is O(n / d_ax)."""
+    import tracemalloc
+
+    rng = np.random.default_rng(5)
+    n, d, d_ax = 40_000, 64, 8
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    idx = ShardedFlatIndex(d, dtype=dtype, use_pallas=False,
+                           mesh=mesh_from_spec("data:8"))
+    idx.add(ids, vecs)
+
+    idx.device_snapshot()  # warm: jit compile allocs stay out of the window
+    idx.compact()
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    idx.device_snapshot()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    shard_bytes = (n // d_ax) * d * 4
+    budget = 4 * shard_bytes + (1 << 20)
+    assert peak < budget, f"host peak {peak/1e6:.1f}MB > {budget/1e6:.1f}MB"
+    r = idx.search(vecs[23], 1)
+    assert r.ids[0][0] == "v23"

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import ml_dtypes
 import numpy as np
 
 import jax
@@ -23,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_rag.index.flat import (FlatIndex, SearchResult, _normalize,
-                                refine_k_scan)
+                                _quantize_int8_np, refine_k_scan)
 from tpu_rag.index.ivf import IVFIndex, _probe_impl
 from tpu_rag.ops.kmeans import kmeans
 from tpu_rag.ops.quant import quantize_int8_rows
@@ -31,6 +32,18 @@ from tpu_rag.ops.topk import PAD_TAG, fused_matmul_topk, topk_xla_reference
 
 
 _KILL_NOOP = 2**31 - 1  # > any real tag id; min-combine makes it a no-op
+
+
+def _stream_to_mesh(shape, sharding: NamedSharding, cb):
+    """Assemble a sharded jax.Array by materializing each device's block on
+    host ONE AT A TIME (cb(index) -> np block, freed right after its
+    device_put) — peak host memory is a single block, unlike
+    jax.make_array_from_callback which gathers every block before placing."""
+    arrs = [
+        jax.device_put(cb(idx), dev)
+        for dev, idx in sharding.addressable_devices_indices_map(shape).items()
+    ]
+    return jax.make_array_from_single_device_arrays(shape, sharding, arrs)
 
 
 def make_sharded_kill(mesh: Mesh, axis: str = "data"):
@@ -132,6 +145,12 @@ class ShardedFlatIndex(FlatIndex):
         return self.mesh
 
     def _compact(self) -> dict[str, Any]:
+        """Streamed per-shard build: each device's block is materialized on
+        host one shard at a time and released right after its device_put
+        (_stream_to_mesh), so host temporaries stay O(n_pad / d_ax) — the
+        old build staged the whole padded (n_pad, dim) f32 corpus on host
+        (153 GB at 100M x 384), the same host-RAM cliff VERDICT r2 #3
+        flagged for the sharded IVF build."""
         mesh = self._mesh()
         d_ax = mesh.shape[self.axis]
         live = np.flatnonzero(self._alive)
@@ -139,26 +158,63 @@ class ShardedFlatIndex(FlatIndex):
         # pad to a multiple of (devices * 256) so every shard tiles cleanly
         unit = d_ax * 256
         n_pad = max(unit, -(-n // unit) * unit)
-        vecs = np.zeros((n_pad, self.dim), np.float32)
-        vecs[:n] = self._vectors[live]
-        ns = np.full((n_pad,), PAD_TAG, np.int32)
-        canon = np.full((n_pad,), PAD_TAG, np.int32)
-        ns[:n] = self._ns[live]
-        canon[:n] = self._canon[live]
-
-        sharding = NamedSharding(mesh, P(self.axis))
         snap: dict[str, Any] = {"rows": live, "n": n, "n_pad": n_pad}
+
+        src = self._vectors
+
+        def f32_piece(lo: int, hi: int) -> np.ndarray:
+            out = np.zeros((hi - lo, self.dim), np.float32)
+            m = max(0, min(n, hi) - lo)
+            if m > 0:
+                out[:m] = src[live[lo:lo + m]]
+            return out
+
+        sh1 = NamedSharding(mesh, P(self.axis))
+        sh2 = NamedSharding(mesh, P(self.axis, None))
         if self.dtype == "int8":
-            vals, scales = quantize_int8_rows(jnp.asarray(vecs))
-            snap["vectors"] = jax.device_put(vals, NamedSharding(mesh, P(self.axis, None)))
-            snap["scales"] = jax.device_put(scales, sharding)
+            # vectors first: one quantize pass per shard feeds both arrays
+            # (the scale cache is O(n) floats, not O(n * dim))
+            scale_cache: dict[tuple[int, int], np.ndarray] = {}
+
+            def vec_cb(idx):
+                lo, hi, _ = idx[0].indices(n_pad)
+                q, s = _quantize_int8_np(f32_piece(lo, hi))
+                scale_cache[(lo, hi)] = s
+                return q
+
+            def scale_cb(idx):
+                lo, hi, _ = idx[0].indices(n_pad)
+                s = scale_cache.get((lo, hi))
+                if s is None:  # shard bounds differ (replicated mesh axes)
+                    _, s = _quantize_int8_np(f32_piece(lo, hi))
+                return s
+
+            snap["vectors"] = _stream_to_mesh((n_pad, self.dim), sh2, vec_cb)
+            snap["scales"] = _stream_to_mesh((n_pad,), sh1, scale_cb)
         else:
-            jdt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-            snap["vectors"] = jax.device_put(jnp.asarray(vecs, dtype=jdt),
-                                             NamedSharding(mesh, P(self.axis, None)))
-            snap["scales"] = jax.device_put(jnp.ones((n_pad,), jnp.float32), sharding)
-        snap["ns"] = jax.device_put(jnp.asarray(ns), sharding)
-        snap["canon"] = jax.device_put(jnp.asarray(canon), sharding)
+            npdt = (ml_dtypes.bfloat16 if self.dtype == "bfloat16"
+                    else np.float32)
+
+            def vec_cb(idx):
+                lo, hi, _ = idx[0].indices(n_pad)
+                return f32_piece(lo, hi).astype(npdt)
+
+            snap["vectors"] = _stream_to_mesh((n_pad, self.dim), sh2, vec_cb)
+            snap["scales"] = jax.device_put(jnp.ones((n_pad,), jnp.float32),
+                                            sh1)
+
+        def tag_cb(arr):
+            def cb(idx):
+                lo, hi, _ = idx[0].indices(n_pad)
+                out = np.full((hi - lo,), PAD_TAG, np.int32)
+                m = max(0, min(n, hi) - lo)
+                if m > 0:
+                    out[:m] = arr[live[lo:lo + m]]
+                return out
+            return cb
+
+        snap["ns"] = _stream_to_mesh((n_pad,), sh1, tag_cb(self._ns))
+        snap["canon"] = _stream_to_mesh((n_pad,), sh1, tag_cb(self._canon))
         if self.incremental:
             self._alloc_append_block(snap)
         return snap
