@@ -297,3 +297,24 @@ def test_ivf_host_bookkeeping_is_one_int32_map():
     assert "v7" not in ivf.search(vecs[7], 3).ids[0]
     # the post-compact() snapshot reused the device lists (no k-means rerun)
     assert ivf.snapshot_stats.get("ivf_device_merges", 0) >= 3
+
+
+def test_ivf_dead_main_swept_once_across_reuse_snapshots():
+    """The reuse-path dead sweep drops swept rows from the slot map, so a
+    long-lived index under churn doesn't re-upload every accumulated
+    tombstone on each reuse compact."""
+    ids, vecs, metas = _mk(1500, seed=17)
+    ivf = IVFIndex(32, dtype="float32", nlist=12, nprobe=12, use_pallas=False)
+    ivf.add(ids, vecs, None, metas)
+    ivf.search(vecs[0], 1)
+    ivf.compact()                      # _dirty: kills below are NOT staged
+    ivf.delete(ids=["v5", "v6"])
+    assert "v5" not in ivf.search(vecs[5], 3).ids[0]  # reuse-path sweep
+    r5, r6 = 5, 6
+    assert ivf._main_slot_of[r5] == -1 and ivf._main_slot_of[r6] == -1
+    ivf.compact()
+    assert "v5" not in ivf.search(vecs[5], 3).ids[0]  # still dead, not re-swept
+    # incremental kill path also drops the slot
+    ivf.delete(ids=["v8"])
+    assert "v8" not in ivf.search(vecs[8], 3).ids[0]
+    assert ivf._main_slot_of[8] == -1

@@ -197,11 +197,14 @@ class IVFIndex(FlatIndex):
             # incremental tag kills may have been SKIPPED: _note_dead stages
             # nothing once _dirty is set (compact()/threshold), expecting a
             # full rebuild to drop them — but this branch keeps the old
-            # lists.  Re-kill every dead-but-slotted row here; idempotent
-            # for rows already tag-killed in place.
+            # lists.  Kill every dead-but-slotted row here, then drop it
+            # from the slot map (dead rows never revive), so each dead row
+            # is swept at most once across reuse snapshots rather than
+            # re-uploaded on every compact.
             dead_main = in_main[~self._alive[in_main]] if len(in_main) else in_main
             if len(dead_main):
                 self._kill_main_slots(snap, self._main_slot_of[dead_main])
+                self._main_slot_of[dead_main] = -1
             overflow_mask[np.isin(live, main_rows)] = False
             # streaming build: absorb overflow rows into the resident lists
             # on device (assignment matmul + chunked scatter — transfer is
@@ -408,6 +411,9 @@ class IVFIndex(FlatIndex):
                 continue
             if hr < len(self._main_slot_of) and self._main_slot_of[hr] >= 0:
                 main_slots.append(int(self._main_slot_of[hr]))
+                # slot is PAD on device now; dropping it from the map keeps
+                # the reuse-path dead sweep from re-killing this row
+                self._main_slot_of[hr] = -1
                 continue
             pos = int(np.searchsorted(ov_rows, hr))
             if pos < len(ov_rows) and ov_rows[pos] == hr:

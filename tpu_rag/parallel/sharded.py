@@ -523,6 +523,7 @@ class ShardedIVFIndex(IVFIndex):
         self._s_slot_of[in_rows] = (s * nlist * cap + (sa * cap + slots)[fits]).astype(np.int32)
         sp_pos = order[~fits]
         sp_rows = rows_s[sp_pos]
+        assert (s + 1) * ov_cap < 2**31  # flattened overflow pos fits int32
         self._s_ov_of[sp_rows] = (s * ov_cap + np.arange(len(sp_rows))).astype(np.int32)
 
         if self.dtype == "int8":
