@@ -254,3 +254,48 @@ def test_sharded_flat_build_host_ram_bounded(dtype):
     assert peak < budget, f"host peak {peak/1e6:.1f}MB > {budget/1e6:.1f}MB"
     r = idx.search(vecs[23], 1)
     assert r.ids[0][0] == "v23"
+
+
+@pytest.mark.parametrize("cls", [ShardedFlatIndex, ShardedIVFIndex])
+def test_sharded_vacuum_churn_parity(cls):
+    """Vacuum renumbers host rows under a SHARDED index: the next snapshot
+    must rebuild from the renumbered store and search results must match a
+    fresh index over the same live set (kill maps carry old row numbers —
+    they must not leak into the post-vacuum snapshot)."""
+    ids, vecs, metas = _mk(2400, seed=21)
+    kw = dict(dtype="float32", use_pallas=False, mesh=mesh_from_spec("data:8"))
+    if cls is ShardedIVFIndex:
+        kw.update(nprobe=64, kmeans_sample=1024)
+    idx = cls(32, **kw)
+    idx.add(ids, vecs, None, metas)
+    idx.search(vecs[0], 1)
+    # churn: delete a slice, add replacements, delete some of those too
+    idx.delete(ids=[f"v{i}" for i in range(0, 600, 3)])
+    rng = np.random.default_rng(22)
+    newv = rng.standard_normal((64, 32)).astype(np.float32)
+    idx.add([f"n{i}" for i in range(64)], newv, None, [{} for _ in range(64)])
+    idx.delete(ids=["n0", "n63"])
+    reclaimed = idx.vacuum()
+    assert reclaimed == 202
+
+    fresh = cls(32, **kw)
+    alive = [i for i in range(2400) if not (i < 600 and i % 3 == 0)]
+    fresh.add([ids[i] for i in alive], vecs[alive], None,
+              [metas[i] for i in alive])
+    keep = [i for i in range(64) if i not in (0, 63)]
+    fresh.add([f"n{i}" for i in keep], newv[keep], None,
+              [{} for _ in keep])
+    if cls is ShardedIVFIndex:
+        fresh._cached_centroids = idx._cached_centroids
+        fresh._centroids_trained_n = idx._centroids_trained_n
+
+    qs = rng.standard_normal((8, 32)).astype(np.float32)
+    a = idx.search(qs, 5)
+    b = fresh.search(qs, 5)
+    assert a.ids == b.ids
+    # incremental mutation still works after the renumbering
+    probe = np.full((1, 32), 0.9, np.float32)
+    idx.add(["post"], probe, ["d"], [{}])
+    assert idx.search(probe, 1).ids[0][0] == "post"
+    idx.delete(ids=["post"])
+    assert "post" not in idx.search(probe, 2).ids[0]
