@@ -1110,6 +1110,11 @@ def main() -> None:
         "qps_xla_batch8": round(qps_batch8, 1),  # small-batch (latency-mode) QPS
         "tpu_index_build_s": tpu_build_s,  # vs baseline_cpu_ann.build_s (graph build)
         "backend": backend,
+        # degraded (non-TPU) runs happen when the tunneled backend is down:
+        # read kernel numbers as CPU-only; the last healthy TPU capture is
+        # the named artifact
+        **({"last_healthy_tpu_capture": "BENCH_r02.json"}
+           if backend != "tpu" else {}),
         "kernel_path": best_path,
         "paths_qps": {p: round(v[0], 1) for p, v in results.items()},
         "paths_recall": {p: round(v[1], 4) for p, v in results.items()},
