@@ -107,6 +107,13 @@ def main() -> None:
                     help="ablation: train the trunk from scratch instead of "
                          "initializing it from the bi-encoder checkpoint")
     args = ap.parse_args()
+    # clamp the schedule BEFORE any expensive work: steps <= warmup makes
+    # warmup_cosine_decay_schedule's decay_steps non-positive, which raised
+    # only after the (potentially hour-long) mining phase had already run
+    if args.steps <= args.warmup:
+        args.warmup = max(1, args.steps // 10)
+        print(f"[train_reranker] warmup clamped to {args.warmup} "
+              f"(steps={args.steps})", flush=True)
 
     from tpu_rag.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()

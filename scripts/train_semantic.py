@@ -173,6 +173,12 @@ def main() -> None:
     ap.add_argument("--eval-only", action="store_true",
                     help="skip training; evaluate an existing --out checkpoint")
     args = ap.parse_args()
+    # steps <= warmup would make the cosine decay_steps non-positive and
+    # raise deep into the run — clamp up front
+    if args.steps <= args.warmup:
+        args.warmup = max(1, args.steps // 10)
+        print(f"[train_semantic] warmup clamped to {args.warmup} "
+              f"(steps={args.steps})", flush=True)
 
     from tpu_rag.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
