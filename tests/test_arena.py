@@ -215,3 +215,39 @@ def test_streamed_compact_tail_clamp():
     r_streamed = streamed.search(q, 3)
     assert r_staged.ids == r_streamed.ids
     assert [r[0] for r in r_streamed.ids] == [f"d{n-4+i}" for i in range(4)]
+
+
+def test_empty_append_on_adopted_store_is_noop(tmp_path):
+    """Appending zero rows to an adopted (read-only) store must not trigger
+    the O(n) migration copy."""
+    from tpu_rag.index.arena import VectorArena
+
+    src = np.arange(64 * 8, dtype=np.float32).reshape(64, 8)
+    a = VectorArena(8, backing="auto")
+    mm_path = tmp_path / "rows.f32"
+    src.tofile(mm_path)
+    mm = np.memmap(mm_path, dtype=np.float32, mode="r", shape=(64, 8))
+    a.adopt(mm)
+    assert a.append(np.zeros((0, 8), np.float32)) == (64, 64)
+    assert a._adopted and a.view.base is not None  # still the adopted memmap
+    # a real append migrates as designed
+    a.append(np.ones((1, 8), np.float32))
+    assert not a._adopted and len(a) == 65
+
+
+def test_auto_spill_judges_allocated_capacity(tmp_path, monkeypatch):
+    """The spill decision uses the capacity about to be allocated: doubling
+    growth must not hold ~2x the configured threshold in RAM."""
+    from tpu_rag.index.arena import VectorArena
+
+    monkeypatch.setenv("TPU_RAG_MASTER_DIR", str(tmp_path))
+    # threshold = 100 rows of dim 8 (3200 B)
+    a = VectorArena(8, backing="auto", spill_bytes=100 * 8 * 4,
+                    initial_rows=8)
+    a.append(np.ones((60, 8), np.float32))
+    assert a.backing == "ram"          # cap 60 rows = 1920 B, under threshold
+    # needs cap >= 120 rows = 3840 B > threshold: must spill NOW, not after
+    # doubling past 2x the knob
+    a.append(np.ones((60, 8), np.float32))
+    assert a.backing == "disk"
+    assert np.allclose(a.view[:120], 1.0)

@@ -233,3 +233,47 @@ def test_env_knobs_wire_through(monkeypatch, tmp_path):
     assert idx._arena.path is not None
     assert str(idx._arena.path).startswith(str(tmp_path))
     assert str(idx._rowmeta.disk.path).startswith(str(tmp_path))
+
+
+def test_disk_extend_bad_meta_rolls_back(tmp_path):
+    """A non-JSON-serializable meta must raise with the store untouched —
+    without the rollback, the partial inserts lingered in the shared
+    connection's open transaction, got persisted by the next unrelated
+    commit, and every later extend collided on the row primary key."""
+    import pytest
+
+    s = RowSeq(backing="disk", dir=tmp_path)
+    s.extend_rows(["a"], ["da"], [{"k": 1}])
+    with pytest.raises(TypeError):
+        s.extend_rows(["b", "c"], ["db", "dc"],
+                      [{"ok": 2}, {"bad": object()}])
+    assert len(s) == 1
+    # an unrelated id-map commit must not resurrect the aborted rows
+    m = RowIdMap(s)
+    m["a"] = 0
+    # ... and appending again keeps working with consistent numbering
+    start = s.extend_rows(["d"], ["dd"], [{"k": 4}])
+    assert start == 1 and s.row(1) == ("d", "dd", {"k": 4})
+
+
+def test_extend_rows_length_mismatch_raises(tmp_path):
+    import pytest
+
+    for backing, kw in (("ram", {}), ("disk", {"dir": tmp_path})):
+        s = RowSeq(backing=backing, **kw)
+        with pytest.raises(ValueError):
+            s.extend_rows(["a", "b"], ["da"], [{}, {}])
+        assert len(s) == 0
+
+
+def test_ram_rows_rejects_negative_row():
+    """-1 is flat.py's invalid-row sentinel: the RAM backing must fail loudly
+    like disk does instead of silently wrapping to the last row."""
+    import pytest
+
+    s = RowSeq(backing="ram")
+    s.extend_rows(["a", "b"], ["da", "db"], [{}, {}])
+    with pytest.raises(IndexError):
+        s.rows([1, -1])
+    with pytest.raises(IndexError):
+        s.row(-1)

@@ -117,6 +117,10 @@ class VectorArena:
             raise ValueError(f"expected (g, {self.dim}) rows, got {rows.shape}")
         g = rows.shape[0]
         with self._lock:
+            if g == 0:
+                # no capacity work for a no-op append: an adopted read-only
+                # store would otherwise trigger a full O(n) migration copy
+                return self._n, self._n
             self._ensure_capacity(self._n + g)
             self._buf[self._n : self._n + g] = rows
             start = self._n
@@ -149,11 +153,15 @@ class VectorArena:
         RAM bounded by one chunk.  Returns the row count written."""
         with self._lock:
             src = self.view
-            if rows is None:
-                sel = np.arange(self._n)
-            else:
-                sel = np.asarray(rows)
             with open(path, "wb") as f:
+                if rows is None:
+                    # all-rows path: plain slices — no O(n) index array and
+                    # no fancy-indexing copy on the beyond-RAM export path
+                    for i in range(0, self._n, chunk_rows):
+                        np.ascontiguousarray(src[i : i + chunk_rows],
+                                             dtype=np.float32).tofile(f)
+                    return self._n
+                sel = np.asarray(rows)
                 for i in range(0, len(sel), chunk_rows):
                     np.ascontiguousarray(src[sel[i : i + chunk_rows]],
                                          dtype=np.float32).tofile(f)
@@ -240,13 +248,16 @@ class VectorArena:
         if need_rows <= cap and writable:
             return
         new_cap = max(self._initial_rows, need_rows, 2 * cap)
-        need_bytes = need_rows * self.dim * 4
+        # judge the spill on the capacity ABOUT to be allocated, not the
+        # logical rows: doubling growth otherwise held up to 2x the
+        # configured threshold in RAM before finally spilling
+        cap_bytes = new_cap * self.dim * 4
         if self.policy == "disk":
             spill = True
         elif self.policy == "ram":
             spill = False
         else:  # auto
-            spill = need_bytes > self.spill_bytes or self.backing == "disk"
+            spill = cap_bytes > self.spill_bytes or self.backing == "disk"
         if writable and isinstance(self._buf, np.memmap) and spill:
             self._grow_disk(new_cap)
         else:

@@ -100,21 +100,43 @@ class RowSeq:
         return self.extend_rows([id_], [doc], [meta])
 
     def extend_rows(self, ids, docs, metas) -> int:
-        """Append rows; returns the first new row number."""
-        start = self._n
+        """Append rows; returns the first new row number.
+
+        RAM stores the provided objects as-is (FlatIndex copies metas at the
+        call site); disk JSON-serializes metas BEFORE touching the store, so
+        a non-serializable value raises with nothing inserted.  NOTE the ram
+        backing keeps metas un-normalized while disk JSON-roundtrips them
+        (tuples become lists, non-string keys become strings) — metadata that
+        arrived through the HTTP API is already plain JSON, so the two only
+        diverge for exotic programmatic metas."""
+        ids, docs, metas = list(ids), list(docs), list(metas)
+        if not (len(ids) == len(docs) == len(metas)):
+            raise ValueError(f"length mismatch: {len(ids)} ids / "
+                             f"{len(docs)} docs / {len(metas)} metas")
         if self.backing == "ram":
+            start = self._n
             self._ids.extend(ids)
             self._docs.extend(docs)
             self._metas.extend(metas)
             self._n = len(self._ids)
-        else:
-            with self.disk.lock:
+            return start
+        # serialize up front: an error here leaves the store untouched
+        meta_json = [json.dumps(m or {}, ensure_ascii=False) for m in metas]
+        with self.disk.lock:
+            start = self._n
+            try:
                 self.disk._conn.executemany(
                     "INSERT INTO rows (row, id, doc, meta) VALUES (?,?,?,?)",
-                    ((start + i, i_, d or "",
-                      json.dumps(m or {}, ensure_ascii=False))
-                     for i, (i_, d, m) in enumerate(zip(ids, docs, metas))))
+                    ((start + i, i_, d or "", s)
+                     for i, (i_, d, s) in enumerate(zip(ids, docs, meta_json))))
                 self.disk._conn.commit()
+            except BaseException:
+                # roll back the open implicit transaction: without this the
+                # partial inserts linger on the SHARED connection and the
+                # next unrelated commit() persists them, permanently
+                # colliding every later extend with the stale row numbers
+                self.disk._conn.rollback()
+                raise
             self._n = start + len(ids)
         return start
 
@@ -134,8 +156,15 @@ class RowSeq:
     def rows(self, row_list) -> list[tuple[str, str, dict]]:
         """Batch fetch (one query on disk) preserving order."""
         if self.backing == "ram":
-            return [(self._ids[r], self._docs[r], self._metas[r])
-                    for r in row_list]
+            # negative rows would silently wrap to the wrong row via python
+            # list indexing (flat.py uses -1 as its invalid-row sentinel);
+            # fail loudly like the disk path does
+            out = []
+            for r in row_list:
+                if r < 0 or r >= self._n:
+                    raise IndexError(r)
+                out.append((self._ids[r], self._docs[r], self._metas[r]))
+            return out
         row_list = list(row_list)
         out: dict[int, tuple] = {}
         CH = 512  # SQLite parameter limit headroom
