@@ -324,3 +324,42 @@ def test_packed_randomized_parity_sweep():
             top = cand[np.argsort(-exact, kind="stable")[:k]]
             hits += len(set(top) & set(ref[i]))
         assert hits >= 0.99 * k * qn, f"trial {trial}: {hits}/{k*qn}"
+
+
+def test_bucketed_tiny_corpus_pads_instead_of_crashing():
+    """Explicit mode="bucketed" with fewer bucket-maxima candidates than k
+    must pad with -inf/-1 like every other mode (it used to raise inside
+    lax.top_k)."""
+    qs, x = _make(n=300, q=3, seed=31)
+    sc, ids = fused_matmul_topk(jnp.array(qs), jnp.array(x), 10,
+                                block_n=256, mode="bucketed")
+    sc, ids = np.array(sc), np.array(ids)
+    assert sc.shape == (3, 10) and ids.shape == (3, 10)
+    for i in range(3):
+        got = [r for r in ids[i] if r >= 0]
+        assert len(got) >= 1
+        assert all(s == -np.inf for s, r in zip(sc[i], ids[i]) if r < 0)
+
+
+def test_filter_without_tags_matches_reference_semantics():
+    """want_ns >= 0 with ns_tags=None: the filter cannot be evaluated, so it
+    is ignored (topk_xla_reference semantics) — the fused path used to fill
+    real rows with tag 0 and silently return zero matches."""
+    qs, x = _make(n=500, q=4, seed=32)
+    sc_f, ids_f = fused_matmul_topk(jnp.array(qs), jnp.array(x), 5, want_ns=7)
+    sc_r, ids_r = topk_xla_reference(jnp.array(qs), jnp.array(x), 5, want_ns=7)
+    assert np.array_equal(np.array(ids_f), np.array(ids_r))
+    assert np.allclose(np.array(sc_f), np.array(sc_r), atol=1e-4)
+    assert (np.array(ids_f) >= 0).all()
+
+
+def test_reference_int8_without_scales():
+    """int8 database with db_scales=None: topk_xla_reference substitutes unit
+    scales exactly like fused_matmul_topk (it used to crash on None)."""
+    from tpu_rag.ops.quant import quantize_int8_rows
+
+    qs, x = _make(n=400, q=3, seed=33)
+    vals, _ = quantize_int8_rows(jnp.array(x))
+    sc_r, ids_r = topk_xla_reference(jnp.array(qs), vals, 5)
+    sc_f, ids_f = fused_matmul_topk(jnp.array(qs), vals, 5)
+    assert np.array_equal(np.array(ids_f), np.array(ids_r))

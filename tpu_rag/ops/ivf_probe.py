@@ -60,7 +60,11 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
     _, lists = jax.lax.top_k(sims_c, nprobe)           # (Q, nprobe)
     lists_flat = lists.reshape(-1).astype(jnp.int32)   # scalar prefetch
 
-    compute_dtype = jnp.bfloat16 if (is_int8 or vec_lists.dtype == jnp.bfloat16) else vec_lists.dtype
+    # int8 lists keep the QUERIES in f32: the kernel upcasts both operands to
+    # f32 anyway, so a bf16 hop would only truncate ~2^-8 query precision and
+    # diverge from _probe_impl on near-ties (q is tiny — no DMA savings)
+    compute_dtype = (jnp.bfloat16 if vec_lists.dtype == jnp.bfloat16
+                     else jnp.float32 if is_int8 else vec_lists.dtype)
     # singleton middle axis: (1, 1, d) query blocks indexed by the grid
     # (dynamic in-kernel row slices can't be proven sublane-aligned)
     q3 = q.astype(compute_dtype).reshape(qn, 1, d)

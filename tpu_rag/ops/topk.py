@@ -351,9 +351,18 @@ def _bucketed_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad
       scale_pad.reshape(nt, 1, bn))
     cand_sc = sc.transpose(1, 0, 2).reshape(qp, nt * nb)
     cand_id = ids.transpose(1, 0, 2).reshape(qp, nt * nb)
-    top_sc, pos = jax.lax.top_k(cand_sc, k)
+    # tiny corpus under EXPLICIT bucketed mode can have fewer bucket-maxima
+    # candidates than k: clamp and pad with -inf/-1 like every other mode
+    # instead of letting lax.top_k raise
+    k_eff = min(k, cand_sc.shape[1])
+    top_sc, pos = jax.lax.top_k(cand_sc, k_eff)
     top_id = jnp.take_along_axis(cand_id, pos, axis=1)
     top_id = jnp.where(jnp.isneginf(top_sc), -1, top_id)
+    if k_eff < k:
+        top_sc = jnp.pad(top_sc, ((0, 0), (0, k - k_eff)),
+                         constant_values=-jnp.inf)
+        top_id = jnp.pad(top_id, ((0, 0), (0, k - k_eff)),
+                         constant_values=-1)
     if is_int8:
         # per-query scale deferred out of the kernel (ranking-invariant);
         # -inf winners stay -inf (qscale > 0 by construction)
@@ -472,38 +481,26 @@ def fused_matmul_topk(
 
     n, d = database.shape
     q = queries.shape[0]
-    if q > QP_MAX:
-        # chunk large query batches: VMEM holds at most QP_MAX queries' score
-        # buffers per kernel call (static python loop — fine under jit)
-        parts = [fused_matmul_topk(
-            queries[i:i + QP_MAX], database, k, db_scales=db_scales,
-            ns_tags=ns_tags, canon_tags=canon_tags, want_ns=want_ns,
-            want_canon=want_canon, block_n=block_n, interpret=interpret,
-            assume_padded=assume_padded, wants=wants, mode=mode)
-            for i in range(0, q, QP_MAX)]
-        return (jnp.concatenate([p[0] for p in parts], axis=0),
-                jnp.concatenate([p[1] for p in parts], axis=0))
     is_int8 = database.dtype == jnp.int8
     dtype_bytes = 1 if is_int8 else database.dtype.itemsize
     bn = default_block_n(d, dtype_bytes, block_n, mode=mode)
     nt = max(1, -(-n // bn))
     n_pad = nt * bn
-    qp = _round_up(max(q, 8), 8)
 
-    if is_int8:
-        # quantize the queries too: int8 x int8 MXU matmul with int32
-        # accumulation, both per-row scales applied to the scores in-kernel
-        from tpu_rag.ops.quant import quantize_int8_rows
-
-        qf = jnp.zeros((qp, d), jnp.float32).at[:q].set(queries.astype(jnp.float32))
-        q_pad, qscale_pad = quantize_int8_rows(qf)
-    else:
-        compute_dtype = jnp.bfloat16 if database.dtype == jnp.bfloat16 else database.dtype
-        if q == qp and queries.dtype == compute_dtype:
-            q_pad = queries
-        else:
-            q_pad = jnp.zeros((qp, d), compute_dtype).at[:q].set(queries.astype(compute_dtype))
-        qscale_pad = jnp.ones((qp,), jnp.float32)
+    # stack (not jnp.array) so want_ns/want_canon may be traced scalars,
+    # e.g. when called inside shard_map (tpu_rag/parallel/sharded.py)
+    if wants is None:
+        wants = jnp.stack([
+            jnp.asarray(want_ns, jnp.int32),
+            jnp.asarray(want_canon, jnp.int32),
+        ]).reshape(1, 2)
+    if ns_tags is None or canon_tags is None:
+        # a filter on a tag array that does not exist cannot be evaluated:
+        # ignore it (the topk_xla_reference semantics) — pad_tags below
+        # fills real rows with tag 0, which would otherwise silently match
+        # nothing.  Works for traced wants too (host-known mask).
+        keep = jnp.asarray([[ns_tags is not None, canon_tags is not None]])
+        wants = jnp.where(keep, wants, jnp.int32(-1))
 
     if assume_padded:
         # caller guarantees: n % bn == 0, tags/scales are full-length with
@@ -529,13 +526,34 @@ def fused_matmul_topk(
         else:
             scale_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(db_scales.astype(jnp.float32))
 
-    # stack (not jnp.array) so want_ns/want_canon may be traced scalars,
-    # e.g. when called inside shard_map (tpu_rag/parallel/sharded.py)
-    if wants is None:
-        wants = jnp.stack([
-            jnp.asarray(want_ns, jnp.int32),
-            jnp.asarray(want_canon, jnp.int32),
-        ]).reshape(1, 2)
+    if q > QP_MAX:
+        # chunk large query batches: VMEM holds at most QP_MAX queries' score
+        # buffers per kernel call (static python loop — fine under jit).
+        # Recurse on the ALREADY-padded arrays (assume_padded=True) so the
+        # database/tags/scales padding above isn't rebuilt once per chunk.
+        parts = [fused_matmul_topk(
+            queries[i:i + QP_MAX], x_pad, k, db_scales=scale_pad,
+            ns_tags=ns_pad, canon_tags=canon_pad, block_n=block_n,
+            interpret=interpret, assume_padded=True, wants=wants, mode=mode)
+            for i in range(0, q, QP_MAX)]
+        return (jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0))
+    qp = _round_up(max(q, 8), 8)
+
+    if is_int8:
+        # quantize the queries too: int8 x int8 MXU matmul with int32
+        # accumulation, both per-row scales applied to the scores in-kernel
+        from tpu_rag.ops.quant import quantize_int8_rows
+
+        qf = jnp.zeros((qp, d), jnp.float32).at[:q].set(queries.astype(jnp.float32))
+        q_pad, qscale_pad = quantize_int8_rows(qf)
+    else:
+        compute_dtype = jnp.bfloat16 if database.dtype == jnp.bfloat16 else database.dtype
+        if q == qp and queries.dtype == compute_dtype:
+            q_pad = queries
+        else:
+            q_pad = jnp.zeros((qp, d), compute_dtype).at[:q].set(queries.astype(compute_dtype))
+        qscale_pad = jnp.ones((qp,), jnp.float32)
 
     if mode == "bucketed":
         top_sc, top_id = _bucketed_topk_padded(
@@ -602,6 +620,8 @@ def topk_xla_reference(
         # rescale the scores, not the matrix: dot(q, x*s) == dot(q, x) * s
         # for per-row s — avoids materializing a dequantized f32 copy
         scores = jnp.dot(queries.astype(jnp.float32), x.astype(jnp.bfloat16).astype(jnp.float32).T)
+        if db_scales is None:  # match fused_matmul_topk: unit scales
+            db_scales = jnp.ones((x.shape[0],), jnp.float32)
         scores = scores * db_scales[None, :].astype(jnp.float32)
     else:
         scores = jnp.dot(queries.astype(jnp.float32), x.astype(jnp.float32).T)
