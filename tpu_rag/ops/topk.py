@@ -263,7 +263,12 @@ def _bucketed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     (BN,QP)->(QP,BN) transpose relayout disappears.  A/B at 10M rows, qp=64:
     bf16 14.8 -> 13.7 ms (96% of the ~586 GB/s measured DMA-pipeline floor),
     int8 10.2 -> 9.1 ms.  (At qp=8 the opposite orientation measured faster
-    — see _topk_tile_kernel — but the bucketed path always pads to QP_MAX.)
+    — see _topk_tile_kernel.  The wrapper pads queries to a multiple of 8,
+    NOT to QP_MAX: bucketed serving is the >= 2M-row regime where queries
+    arrive microbatched near QP_MAX, and padding a cold single query 8x
+    would buy back the relayout at 8x the MXU work.  Small-qp bucketed
+    orientation is an open A/B — revisit on hardware if cold single-query
+    10M+ latency ever matters.)
     The per-QUERY int8 scale is NOT applied here: a positive per-query
     factor cannot change that query's ranking, so the wrapper applies it
     once to the k winners instead of (BN, QP) times per tile."""
