@@ -188,3 +188,42 @@ def test_encoder_batch_bucket_ladder():
     enc.batch = 64
     assert enc._bucket(40) == 64
     assert enc._bucket(70) == 64 or enc._bucket(70) == enc.batch  # clamped to batch
+
+
+def test_bad_tokenizer_json_falls_back_to_hash(tmp_path):
+    """A tokenizer.json that can't be parsed must fall back to the HASH
+    tokenizer — falling through to WordPiece treated each JSON line as a
+    vocab token and silently produced a garbage vocabulary."""
+    from tpu_rag.models.tokenizer import HashTokenizer, load_tokenizer
+
+    p = tmp_path / "tokenizer.json"
+    p.write_text('{"not": "a tokenizer"}\n["more lines"]\n')
+    tok = load_tokenizer(str(p), vocab_size=1024)
+    assert isinstance(tok, HashTokenizer)
+
+
+def test_tokenize_query_ids_rejects_oversized_batch():
+    from tpu_rag.models.biencoder import BiEncoder
+
+    import pytest
+
+    spec = BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128,
+                    max_len=64)
+    enc = BiEncoder(spec=spec, batch=4, seq_len=32)
+    with pytest.raises(ValueError):
+        enc.tokenize_query_ids([f"text {i}" for i in range(9)], batch=4)
+
+
+def test_fused_cache_tokens_are_unique():
+    """Fused-path cache keys must not alias across encoder instances
+    (id(self) is reused by the allocator after GC)."""
+    from tpu_rag.models.biencoder import BiEncoder
+
+    spec = BertSpec(vocab_size=512, hidden=64, layers=2, heads=4, ffn=128,
+                    max_len=64)
+    a = BiEncoder(spec=spec, batch=2, seq_len=32)
+    k1 = a.fused_forward()[1]
+    del a
+    b = BiEncoder(spec=spec, batch=2, seq_len=32)
+    k2 = b.fused_forward()[1]
+    assert k1 != k2

@@ -14,6 +14,7 @@ only needs self-consistency, and this image has no pretrained weights).
 from __future__ import annotations
 
 import hashlib
+import itertools
 
 import numpy as np
 
@@ -44,6 +45,9 @@ def spec_for_model(name: str) -> BertSpec:
     return MODEL_SPECS["minilm-l6"]
 
 
+_ENCODER_SEQ = itertools.count()  # fused-cache keys: id(self) aliases after GC
+
+
 def _seed_from_name(name: str) -> int:
     return int.from_bytes(hashlib.blake2b(name.encode(), digest_size=4).digest(), "little")
 
@@ -58,7 +62,15 @@ def _load_orbax_params(path: str):
         import orbax.checkpoint as ocp
 
         return ocp.StandardCheckpointer().restore(os.path.abspath(path))
-    except Exception:
+    except Exception as e:
+        # the path EXISTS but could not be restored (version skew, truncated
+        # files): say so loudly — callers fall back to seeded-random weights,
+        # and without this line that silent quality collapse is
+        # indistinguishable from the intentional no-weights mode
+        import logging
+        logging.getLogger("tpu_rag").warning(
+            "checkpoint restore failed for %s (%s); falling back to "
+            "seeded-random weights", path, e)
         return None
 
 
@@ -97,6 +109,20 @@ class BiEncoder:
             self.spec = spec_from_params(restored, self.spec)
         self.seq_len = min(seq_len, self.spec.max_len)
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.spec.vocab_size)
+        tok_vocab = int(getattr(self.tokenizer, "vocab_size", self.spec.vocab_size))
+        if tok_vocab > self.spec.vocab_size:
+            import logging
+            logging.getLogger("tpu_rag").warning(
+                "tokenizer vocab (%d) exceeds the model's embedding table "
+                "(%d): ids beyond the table gather-clamp silently — use a "
+                "spec/checkpoint matching the tokenizer", tok_vocab,
+                self.spec.vocab_size)
+        # upload dtype must cover the ACTUAL id range (tokenizer), not just
+        # the spec's table size
+        self._id_np_dtype = (np.int16
+                             if max(self.spec.vocab_size, tok_vocab) < 2 ** 15
+                             else np.int32)
+        self._cache_token = next(_ENCODER_SEQ)
         self.module = BertEncoder(self.spec, dtype=self.compute_dtype)
         self.params = restored if restored is not None else self._init_params(weights_path)
         self._param_shardings = None
@@ -241,7 +267,7 @@ class BiEncoder:
         from tpu_rag.models.tokenizer import _special_ids
 
         cls_id, sep_id, pad_id = _special_ids(self.tokenizer)
-        idt = np.int16 if self.spec.vocab_size < 2 ** 15 else np.int32
+        idt = self._id_np_dtype
         toks = [self.tokenizer.tokenize_ids(t)[: self.seq_len - 2] for t in texts]
         order = sorted(range(n), key=lambda i: len(toks[i]))
         out = np.zeros((n, self.dim), np.float32)
@@ -284,7 +310,7 @@ class BiEncoder:
             hidden = module.apply({"params": params}, ids, mask)
             return l2_normalize(mean_pool(hidden, mask).astype(jnp.float32))
 
-        return forward, ("biencoder", id(self))
+        return forward, ("biencoder", self._cache_token)
 
     def tokenize_batch(self, texts: list[str], batch: int | None = None):
         """Tokenize to fixed-shape (ids, mask) int32 arrays (host-side)."""
@@ -308,7 +334,7 @@ class BiEncoder:
             hidden = module.apply({"params": params}, ids32, m)
             return l2_normalize(mean_pool(hidden, m).astype(jnp.float32))
 
-        return forward, ("biencoder_ids", id(self))
+        return forward, ("biencoder_ids", self._cache_token)
 
     def tokenize_query_ids(self, texts: list[str], batch: int | None = None):
         """Mask-free, seq-bucketed tokenization for the fused serving path:
@@ -319,10 +345,14 @@ class BiEncoder:
         from tpu_rag.models.tokenizer import _special_ids
 
         b = batch or self._bucket(len(texts))
+        if len(texts) > b:
+            raise ValueError(
+                f"{len(texts)} texts exceed the batch capacity {b} — "
+                f"split the call (engine microbatch windows do)")
         cls_id, sep_id, pad_id = _special_ids(self.tokenizer)
         toks = [self.tokenizer.tokenize_ids(t)[: self.seq_len - 2] for t in texts]
         t = self._seq_bucket(max((len(x) for x in toks), default=0) + 2)
-        dt = np.int16 if self.spec.vocab_size < 2 ** 15 else np.int32
+        dt = self._id_np_dtype
         ids = np.full((b, t), pad_id, dt)
         for r, row_t in enumerate(toks):
             row = [cls_id] + row_t + [sep_id]

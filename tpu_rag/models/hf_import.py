@@ -108,7 +108,13 @@ def load_bert_params(path: str | Path, spec) -> dict | None:
         return None
     try:
         return map_bert_state_dict(sd, spec)
-    except KeyError:
+    except (KeyError, ValueError) as e:
+        # ValueError = shape mismatch (checkpoint from a different
+        # architecture than `spec`, e.g. bge-base weights with a minilm
+        # spec): degrade gracefully like every other loader here
+        import logging
+        logging.getLogger("tpu_rag").warning(
+            "HF checkpoint %s does not match spec (%s); ignoring it", path, e)
         return None
 
 

@@ -160,7 +160,13 @@ class HFTokenizerAdapter:
         sep = self._tok.token_to_id("[SEP]")
         self.cls_id = CLS_ID if cls is None else cls
         self.sep_id = SEP_ID if sep is None else sep
-        self.pad_id = 0
+        # look the pad token up like [CLS]/[SEP]: id 0 is a REAL token in
+        # BPE/RoBERTa-style vocabs, and the mask-free serving path treats
+        # every pad_id position as padding (ids != pad_id)
+        pad = self._tok.token_to_id("[PAD]")
+        if pad is None:
+            pad = self._tok.token_to_id("<pad>")
+        self.pad_id = 0 if pad is None else pad
 
     def tokenize_ids(self, text: str) -> list[int]:
         enc = self._tok.encode(text, add_special_tokens=False)
@@ -179,8 +185,16 @@ def load_tokenizer(path: str = "", vocab_size: int = 30522):
         if p.is_file() and p.suffix == ".json":
             try:
                 return HFTokenizerAdapter(p)
-            except Exception:
-                pass
+            except Exception as e:
+                # do NOT fall through to WordPiece: it would treat each JSON
+                # text line as a vocab token and silently produce a garbage
+                # vocabulary (every real word -> UNK).  Hash fallback keeps
+                # serving functional and the warning makes the reason loud.
+                import logging
+                logging.getLogger("tpu_rag").warning(
+                    "failed to load HF tokenizer %s (%s); falling back to "
+                    "hash tokenizer", p, e)
+                return HashTokenizer(vocab_size)
         if p.is_file():
             return WordPieceTokenizer(p)
     return HashTokenizer(vocab_size)

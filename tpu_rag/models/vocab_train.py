@@ -37,7 +37,8 @@ def train_wordpiece_vocab(
         for ch in word:
             char_freq[ch] += freq
         # suffix pieces (##xyz) make longest-match split long/rare words well
-        for ln in range(1, min(max_suffix_len, len(word))):
+        # (up to max_suffix_len chars INCLUSIVE, shorter than the word)
+        for ln in range(1, min(max_suffix_len, len(word) - 1) + 1):
             suffix_freq["##" + word[-ln:]] += freq
 
     vocab: list[str] = list(SPECIALS)

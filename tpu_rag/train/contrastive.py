@@ -93,16 +93,24 @@ class ContrastiveTrainer:
         return float(loss)
 
     def save(self, path: str) -> None:
+        import os
+
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
-        ckpt.save(path, jax.device_get(self.params), force=True)
+        # orbax requires absolute paths; don't rely on callers to abspath
+        ckpt.save(os.path.abspath(path), jax.device_get(self.params), force=True)
         ckpt.wait_until_finished()  # StandardCheckpointer saves asynchronously
 
     def load(self, path: str) -> None:
+        """Restore PARAMS only: optimizer moments are re-initialized, so a
+        resumed run warms Adam up from zero moments (checkpoints store the
+        param tree alone — see save())."""
+        import os
+
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
-        restored = ckpt.restore(path)
+        restored = ckpt.restore(os.path.abspath(path))
         self.params = jax.device_put(restored, self.param_shardings)
         self.opt_state = self.optimizer.init(self.params)
