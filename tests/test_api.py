@@ -519,3 +519,56 @@ def test_search_rerank_candidates_depth(tmp_path):
                                       "rerank": True})
     assert r.status_code == 200
     assert seen0 and seen0[0] <= 4
+
+
+def test_compose_stream_init_error_reaches_client(env, monkeypatch):
+    """A failure during stream INIT must arrive as an SSE error event — the
+    deferred generator used to close over the except variable, which CPython
+    deletes when the block exits, so the pump thread raised NameError and
+    clients got an empty stream."""
+    app, engine, client = env
+
+    def boom(*a, **k):
+        raise RuntimeError("search exploded")
+
+    monkeypatch.setattr(engine, "search_internal", boom)
+    r = client.post("/compose_stream", json={"query": "anything", "k": 3})
+    frames = "".join(r.iter_stream())
+    assert "[compose_stream init error] search exploded" in frames
+
+
+def test_compose_honors_selected_ids(env):
+    """The blocking /compose applies the same selected_ids source filter as
+    /compose_stream (it used to ignore it)."""
+    app, engine, client = env
+    client.post("/docs/save", json={"title": "One", "content": "alpha beta"})
+    r = client.post("/compose", json={"query": "alpha", "k": 5,
+                                      "selected_ids": ["nope"]})
+    out = r.json()
+    assert out["citations"] == [] and out["draft"] == ""
+
+
+def test_bad_limit_and_k_are_client_errors(env):
+    app, engine, client = env
+    assert client.get("/threads?limit=abc").status_code == 400
+    r = client.post("/kb/search", json={"query": "x", "k": "abc"})
+    assert r.status_code == 400
+
+
+def test_docs_save_same_title_same_second(env):
+    """Two same-second saves of one title keep distinct files (the filename
+    used to collide and the second write clobbered the first doc)."""
+    app, engine, client = env
+    a = client.post("/docs/save", json={"title": "Notes", "content": "first"}).json()
+    b = client.post("/docs/save", json={"title": "Notes", "content": "second"}).json()
+    assert a["file"] != b["file"]
+    assert client.get(f"/docs/{a['id']}").json()["content"] == "first"
+    assert client.get(f"/docs/{b['id']}").json()["content"] == "second"
+
+
+def test_path_params_decode_once(env):
+    """Percent-decoding happens exactly once: %2520 -> literal '%20' in the
+    param (double-unquote turned it into a space)."""
+    app, engine, client = env
+    r = client.get("/docs/doc-a%2520b")
+    assert r.status_code == 404  # decoded id is 'doc-a%20b', not 'doc-a b'

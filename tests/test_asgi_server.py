@@ -281,3 +281,48 @@ def test_bench_http_multiprocess_load(server):
     assert res["requests_ok"] > 0
     assert res["qps"] > 0
     assert res["p50_ms"] is not None
+
+
+def test_path_param_decoded_exactly_once(server):
+    import requests
+
+    # %2520 on the wire -> server unquotes once -> handler sees literal '%20'
+    r = requests.get(f"{server}/items/a%2520b")
+    assert r.status_code == 200
+    assert r.json() == {"id": "a%20b"}
+
+
+def test_chunked_request_body_rejected_loudly(server):
+    """Transfer-Encoding: chunked isn't implemented: the server answers 501
+    and closes instead of reading an empty body and desyncing keep-alive."""
+    import urllib.parse
+
+    host = urllib.parse.urlsplit(server).netloc
+    hostname, port = host.split(":")
+    s = socket.create_connection((hostname, int(port)), timeout=5)
+    s.sendall(b"POST /echo HTTP/1.1\r\nhost: x\r\n"
+              b"transfer-encoding: chunked\r\n"
+              b"content-type: application/json\r\n\r\n"
+              b"2\r\n{}\r\n0\r\n\r\n")
+    data = s.recv(4096)
+    assert b"501" in data.split(b"\r\n")[0]
+    s.close()
+
+
+def test_real_disconnect_stops_stream_watcher(server):
+    """receive() reports an actual EOF as http.disconnect (the old code
+    slept 3600s then fabricated one, truncating live streams at the 1-hour
+    mark and never noticing real aborts)."""
+    import urllib.parse
+
+    host = urllib.parse.urlsplit(server).netloc
+    hostname, port = host.split(":")
+    s = socket.create_connection((hostname, int(port)), timeout=5)
+    s.sendall(b"GET /stream HTTP/1.1\r\nhost: x\r\n\r\n")
+    s.recv(64)     # headers + first chunk under way
+    s.close()      # abort mid-stream: the watcher must see EOF, not hang
+    # the server must keep answering new connections afterwards
+    import requests
+
+    r = requests.get(f"{server}/ping", timeout=5)
+    assert r.status_code == 200

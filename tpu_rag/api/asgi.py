@@ -24,7 +24,7 @@ import threading
 import traceback
 from pathlib import Path
 from typing import Any, Callable, Iterable
-from urllib.parse import parse_qsl, unquote
+from urllib.parse import parse_qsl
 
 logger = logging.getLogger(__name__)
 
@@ -90,7 +90,9 @@ class RedirectResponse(Response):
 
 _CORS_HEADERS = {
     "access-control-allow-origin": "*",
-    "access-control-allow-credentials": "true",
+    # no allow-credentials: browsers REJECT credentialed responses that
+    # combine it with a wildcard origin, and the x-api-key auth flow sends
+    # no cookies — the pair was either dead or broken for every caller
     "access-control-allow-methods": "GET, POST, PUT, DELETE, OPTIONS",
     "access-control-allow-headers": "*",
 }
@@ -128,7 +130,10 @@ class _Route:
         params: dict[str, str] = {}
         for seg, part in zip(self.segments, parts):
             if seg.startswith("{") and seg.endswith("}"):
-                params[seg[1:-1]] = unquote(part)
+                # scope paths arrive ALREADY percent-decoded (server.py and
+                # testclient both unquote) — decoding again here corrupted
+                # any param value containing literal %XX sequences
+                params[seg[1:-1]] = part
             elif seg != part:
                 return None
         return params
@@ -394,6 +399,13 @@ class App:
         finally:
             cancel.set()
             watcher.cancel()
+            # land the cancellation NOW: the watcher awaits reader.read, and
+            # leaving it un-awaited would let it race the next keep-alive
+            # request's header read for the same connection's bytes
+            try:
+                await watcher
+            except (asyncio.CancelledError, Exception):
+                pass
             try:
                 q.put_nowait(_SENTINEL)  # wake an abandoned q.get executor thread
             except thread_queue.Full:

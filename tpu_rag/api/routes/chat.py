@@ -34,15 +34,22 @@ NO_HITS_NOTE = "無檢索命中；請調整 query 或新增資料。"
 def register(app: App, engine: RagEngine) -> None:
     cfg = engine.config
 
+    def _int_param(value: str, name: str) -> int:
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            raise HTTPException(400, f"invalid {name}: {value!r}")
+
     @app.get("/threads")
     def list_threads(limit: str = "200"):
-        return {"threads": engine.db.list_threads(int(limit))}
+        return {"threads": engine.db.list_threads(_int_param(limit, "limit"))}
 
     @app.get("/threads/{thread_id}/messages")
     def thread_messages(thread_id: str, limit: str = "500"):
         return {
             "thread_id": thread_id,
-            "messages": engine.db.thread_messages(thread_id, int(limit)),
+            "messages": engine.db.thread_messages(
+                thread_id, _int_param(limit, "limit")),
             "summary": engine.db.get_summary(thread_id),
         }
 
@@ -51,6 +58,10 @@ def register(app: App, engine: RagEngine) -> None:
         lang = engine.norm_lang(body.language)
         hits = engine.search_internal(body.query, body.k, body.namespace,
                                       body.canonicality, body.rerank)
+        if body.selected_ids:
+            # same client-side source selection the streaming endpoint honors
+            idset = set(body.selected_ids)
+            hits = [h for h in hits if h.get("id") in idset]
         if not hits:
             return {"draft": "", "citations": [], "note": NO_HITS_NOTE, "language": lang}
         thread_id = body.thread_id or engine.new_thread_id()
@@ -103,8 +114,14 @@ def register(app: App, engine: RagEngine) -> None:
             if body.extra_context:
                 combined_ctx += f"\n\n<<<CLIENT_SNIPPETS>>>\n{body.extra_context}\n<<<END_CLIENT_SNIPPETS>>>"
         except Exception as e:
+            # capture the message NOW: CPython deletes the except variable
+            # when the block exits, and this generator runs later in the
+            # pump thread — closing over `e` raised NameError there and the
+            # client got an empty stream instead of the error event
+            msg = f"[compose_stream init error] {e}"
+
             def init_fail():
-                yield sse({"type": "text", "data": f"[compose_stream init error] {e}"})
+                yield sse({"type": "text", "data": msg})
             return Response(stream=init_fail(), media_type="text/event-stream",
                             headers=SSE_HEADERS)
 

@@ -126,8 +126,12 @@ def register(app: App, engine: RagEngine) -> None:
         base = docs_dir()
         base.mkdir(parents=True, exist_ok=True)
         ts = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
-        doc_id = f"doc-{ts}-{uuid.uuid4().hex[:8]}"
-        fname = f"{ts}_{slug(body.title)}.json"
+        uid = uuid.uuid4().hex[:8]
+        doc_id = f"doc-{ts}-{uid}"
+        # the uid keeps two same-second saves of the same title from
+        # clobbering each other's file (the first doc would stay indexed but
+        # 404 on fetch)
+        fname = f"{ts}_{slug(body.title)}_{uid}.json"
         payload = build_payload(doc_id, body)
         (base / fname).write_text(json.dumps(payload, ensure_ascii=False, indent=2),
                                   encoding="utf-8")
@@ -158,7 +162,10 @@ def register(app: App, engine: RagEngine) -> None:
         q = ((body or {}).get("query") or "").strip()
         if not q:
             raise HTTPException(400, "query required")
-        k = int((body or {}).get("k") or 5)
+        try:
+            k = int((body or {}).get("k") or 5)
+        except (TypeError, ValueError):
+            raise HTTPException(400, f"invalid k: {(body or {}).get('k')!r}")
         try:
             return {"hits": engine.db.search_kb_fts(q, limit=k)}
         except Exception as e:

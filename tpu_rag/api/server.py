@@ -83,6 +83,15 @@ class HTTPServer:
             headers.append((k.encode("latin-1"), v.encode("latin-1")))
             hmap[k] = v
 
+        if "chunked" in hmap.get("transfer-encoding", "").lower():
+            # chunked request decoding is not implemented: answer loudly and
+            # close — silently reading an empty body desynchronized the
+            # keep-alive connection (the chunk framing bytes were parsed as
+            # the next request line)
+            writer.write(b"HTTP/1.1 501 Not Implemented\r\n"
+                         b"content-length: 0\r\nconnection: close\r\n\r\n")
+            await writer.drain()
+            return False
         length = int(hmap.get("content-length", "0") or 0)
         if length > MAX_BODY_BYTES:
             return False
@@ -105,12 +114,22 @@ class HTTPServer:
         }
 
         received = False
+        pipelined = bytearray()
 
         async def receive():
             nonlocal received
             if received:
-                await asyncio.sleep(3600)
-                return {"type": "http.disconnect"}
+                # Report REAL disconnects: block until EOF on the read side.
+                # (The old fixed 3600s sleep fabricated a disconnect that
+                # truncated any live stream at the 1-hour mark, while actual
+                # disconnects went unreported until a write failed.)  Bytes
+                # that arrive instead of EOF — a pipelined next request —
+                # are re-fed to the reader after the response completes.
+                while True:
+                    chunk = await reader.read(4096)
+                    if not chunk:
+                        return {"type": "http.disconnect"}
+                    pipelined.extend(chunk)
             received = True
             return {"type": "http.request", "body": body, "more_body": False}
 
@@ -162,6 +181,9 @@ class HTTPServer:
             await send(message)
 
         await self.app(scope, receive, send_with_length)
+        if pipelined:
+            # hand pipelined bytes back so the keep-alive loop parses them
+            reader.feed_data(bytes(pipelined))
         return hmap.get("connection", "").lower() != "close"
 
     async def serve(self) -> None:

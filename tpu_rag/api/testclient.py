@@ -10,16 +10,17 @@ from __future__ import annotations
 
 import json as _json
 from typing import Any, Iterable
-from urllib.parse import parse_qsl, urlsplit
+from urllib.parse import parse_qsl, unquote, urlsplit
 
 from tpu_rag.api.asgi import App, Request, Response
 
 
 class ClientResponse:
-    def __init__(self, response: Response) -> None:
+    def __init__(self, response: Response, background=None) -> None:
         self._response = response
         self.status_code = response.status_code
         self.headers = response.headers
+        self._background = list(background or [])
 
     @property
     def text(self) -> str:
@@ -31,9 +32,14 @@ class ClientResponse:
     def iter_stream(self) -> Iterable[str]:
         if self._response.stream is None:
             yield self.text
-            return
-        for chunk in self._response.stream:
-            yield chunk if isinstance(chunk, str) else chunk.decode("utf-8")
+        else:
+            for chunk in self._response.stream:
+                yield chunk if isinstance(chunk, str) else chunk.decode("utf-8")
+        # background tasks run after the stream drains — matching the real
+        # server (asgi.__call__ runs them after _send_stream completes)
+        background, self._background = self._background, []
+        for fn, args in background:
+            fn(*args)
 
 
 class TestClient:
@@ -54,10 +60,12 @@ class TestClient:
         if json is not None:
             body = _json.dumps(json, ensure_ascii=False).encode("utf-8")
             hdrs.setdefault("content-type", "application/json")
-        request = Request(method.upper(), split.path, query, hdrs, body)
+        # decode like server.py does (ASGI scope paths are percent-decoded)
+        request = Request(method.upper(), unquote(split.path), query, hdrs, body)
         response = self.app.handle(request)
         is_stream = response.stream is not None
-        result = ClientResponse(response)
+        result = ClientResponse(response,
+                                background=request.background if is_stream else None)
         if not is_stream:
             for fn, args in request.background:
                 fn(*args)
