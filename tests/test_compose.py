@@ -74,8 +74,8 @@ def test_language_policy_coverage():
     for lang in ("zh-tw", "zh-cn", "ja", "ko", "en", "fr", "de", "es"):
         user, system = language_policy(lang)
         assert user and system
-    user, system = language_policy("sw")  # fallback
-    assert "requested language" in user
+    user, system = language_policy("sw")  # fallback names the language
+    assert "'sw'" in user and "'sw'" in system
 
 
 def test_build_user_content_markers():
@@ -185,3 +185,60 @@ def test_build_context_budget():
     ctx, used = s.build_context(hits, "en", max_chars=2000, max_chars_per_chunk=400)
     assert used < 20 and len(ctx) <= 2000
     assert ctx.count("<<<CHUNK id=") == used
+
+
+def test_recency_mix_with_bm25_hits():
+    """mix_with_recency must rank FTS hits by bm25 family semantics (more
+    negative = better): 1/(1+d) inverted their order and divided by zero at
+    exactly -1.0."""
+    import time as _time
+
+    from tpu_rag.retrieval.hybrid import mix_with_recency
+
+    now = int(_time.time())
+    hits = [
+        {"id": "strong-fts", "score": -5.0, "score_kind": "bm25",
+         "metadata": {"updated_ts": now}},
+        {"id": "edge-fts", "score": -1.0, "score_kind": "bm25",
+         "metadata": {"updated_ts": now}},
+        {"id": "weak-fts", "score": -0.2, "score_kind": "bm25",
+         "metadata": {"updated_ts": now}},
+    ]
+    mixed = mix_with_recency(hits)
+    assert [h["id"] for h in mixed] == ["strong-fts", "edge-fts", "weak-fts"]
+
+
+def test_summarizer_does_not_cache_llm_failures():
+    from tpu_rag.compose.summarize import Summarizer
+
+    calls = []
+
+    def flaky(messages, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("backend down")
+        return "short summary", "x"
+
+    s = Summarizer(flaky, default_language="en", mode="llm")
+    assert s.summarize_chunk("long text " * 50, "en") .startswith("long text")
+    # backend recovered: the failure must NOT have been cached
+    assert s.summarize_chunk("long text " * 50, "en") == "short summary"
+    assert len(calls) == 2
+
+
+def test_thread_summary_mode_off_rolls_tail(tmp_path):
+    """SUMMARIZE_MODE=off keeps a rolling tail of plain exchanges — the old
+    head-truncated scaffold froze once it hit the cap and nested
+    'Previous summary:' labels."""
+    from tpu_rag.compose.history import update_thread_summary
+    from tpu_rag.compose.summarize import Summarizer
+    from tpu_rag.memory.db import ConversationDB
+
+    db = ConversationDB(str(tmp_path / "t.sqlite3"))
+    s = Summarizer(lambda m, **k: ("", "x"), default_language="en", mode="off")
+    for i in range(30):
+        update_thread_summary(db, s, "t1", f"question {i}", "answer " * 30, "en")
+    summ = db.get_summary("t1")
+    assert "Previous summary:" not in summ
+    assert "question 29" in summ       # latest exchange present
+    assert len(summ) <= 800

@@ -149,3 +149,48 @@ def test_dispatcher_explicit_engine():
     d = LLMDispatcher(cfg)
     out, name = d.generate(MESSAGES, engine="extractive")
     assert name == "extractive"
+
+
+def test_dispatcher_stream_fallback_primes_first_chunk():
+    """Streaming fallback actually works: backend.stream() is a generator
+    function whose connection error only fires at iteration time — the
+    dispatcher primes the first chunk so stream-start failures fall through
+    to the next backend instead of leaking into the SSE loop."""
+    cfg = Config(ollama_host="http://127.0.0.1:9", ollama_model="m",
+                 model_priority=("ollama", "extractive"))
+    d = LLMDispatcher(cfg)
+    stream, name = d.generate(
+        [{"role": "user", "content": "plain text question"}], stream=True)
+    assert name == "extractive"
+    assert "".join(stream)
+
+
+def test_ollama_mid_stream_error_raises():
+    """A 200-status NDJSON line {"error": ...} mid-stream must raise, not end
+    the stream as if it completed."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("content-length", 0)))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(
+                b'{"message": {"content": "par"}}\n'
+                b'{"error": "model blew up"}\n')
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        b = OllamaBackend(f"http://127.0.0.1:{srv.server_port}", "m")
+        chunks = []
+        with pytest.raises(RuntimeError, match="model blew up"):
+            for c in b.stream(MESSAGES):
+                chunks.append(c)
+        assert chunks == ["par"]
+    finally:
+        srv.shutdown()

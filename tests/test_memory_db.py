@@ -47,3 +47,27 @@ def test_kb_items_fts_triggers(tmp_path):
     db.upsert_kb_item("wiki", "r1", "Dragons", "wyverns soar high")
     assert db.search_kb_fts("fire") == []  # old content gone
     assert db.search_kb_fts("wyverns")[0]["id"] == "db:wiki:r1"
+
+
+def test_kb_upsert_concurrent_no_duplicates(tmp_path):
+    """Concurrent upserts of the same (source, ref_id) must end as ONE row
+    (the old SELECT-then-INSERT raced and left permanent duplicates)."""
+    import threading
+
+    from tpu_rag.memory.db import ConversationDB
+
+    db = ConversationDB(str(tmp_path / "kb.sqlite3"))
+    start = threading.Barrier(8)
+
+    def up(i):
+        start.wait()
+        for j in range(10):
+            db.upsert_kb_item("lore", "ref-1", f"title {i}-{j}", "same item")
+
+    threads = [threading.Thread(target=up, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    hits = db.search_kb_fts("item", limit=10)
+    assert len([h for h in hits if h["id"] == "db:lore:ref-1"]) == 1

@@ -13,7 +13,10 @@ English, explanations must not be).
 from __future__ import annotations
 
 _LANG_ALIASES = {
-    "zh": "zh",
+    # bare "zh" maps to the traditional default: it exists in no policy or
+    # template table, so leaving it unmapped silently served the English
+    # fallback guard to the most common Chinese language tag
+    "zh": "zh-tw",
     "zh-hant": "zh-tw", "zh-tw": "zh-tw", "zh-hk": "zh-tw", "zh-mo": "zh-tw",
     "zh-hans": "zh-cn", "zh-cn": "zh-cn", "zh-sg": "zh-cn",
     "ja": "ja", "ja-jp": "ja",
@@ -103,7 +106,14 @@ _FALLBACK_POLICY = (
 
 def language_policy(lang: str | None, default: str = "zh-tw") -> tuple[str, str]:
     """-> (user_guard, system_guard) for the normalized language."""
-    return _POLICIES.get(norm_lang(lang, default), _FALLBACK_POLICY)
+    l = norm_lang(lang, default)
+    policy = _POLICIES.get(l)
+    if policy is not None:
+        return policy
+    # name the language in the fallback guard: "the requested language"
+    # gave the model nothing to anchor on
+    return tuple(g.replace("the requested language", f"the language with tag '{l}'")
+                 for g in _FALLBACK_POLICY)
 
 
 def wrap_context(context: str) -> str:

@@ -42,7 +42,11 @@ class Summarizer:
             "ja": f"日本語のみで要点を要約。新情報を追加せず、逐語的な複写をしない。約{max_chars}文字以内。",
             "ko": f"한국어로 핵심을 요약. 새로운 정보 추가 금지, 원문 베껴쓰기 금지. 약 {max_chars}자.",
         }
-        return guards.get(lang, f"Summarize in the requested language only. ~{max_chars} chars.")
+        # NAME the target language for everything else: "the requested
+        # language" gave the model nothing to go on and summaries came back
+        # in the source text's language
+        return guards.get(lang, f"Summarize in the language with tag "
+                                f"'{lang}' only. ~{max_chars} chars.")
 
     def summarize_to_lang(self, text: str, lang: str, max_chars: int = 600) -> str | None:
         try:
@@ -63,12 +67,16 @@ class Summarizer:
                 self._cache.move_to_end(key)
                 return self._cache[key]
         out = self.summarize_to_lang(text, l, max_chars=max_chars_per_chunk)
-        result = out if (out and isinstance(out, str)) else text
+        if not (out and isinstance(out, str)):
+            # LLM failed (transient outage): serve the raw text but do NOT
+            # cache it — caching the fallback poisoned the entry until
+            # eviction, long after the backend recovered
+            return text
         with self._lock:
-            self._cache[key] = result
+            self._cache[key] = out
             while len(self._cache) > self._cache_size:
                 self._cache.popitem(last=False)
-        return result
+        return out
 
     def build_context(self, hits: list[dict], language: str | None,
                       max_chars: int = 4000, max_chars_per_chunk: int = 600,

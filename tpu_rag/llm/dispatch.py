@@ -53,7 +53,19 @@ class LLMDispatcher:
                 continue
             try:
                 if stream:
-                    return backend.stream(messages, **kw), name
+                    # backend.stream() is a generator FUNCTION: nothing runs
+                    # until iteration, so connection failures would escape
+                    # this try and break the fallback contract for streams.
+                    # Prime the first chunk here to force stream-start
+                    # errors into the fallback path.
+                    import itertools
+
+                    gen = backend.stream(messages, **kw)
+                    try:
+                        first = next(gen)
+                    except StopIteration:
+                        return iter(()), name  # empty but successful stream
+                    return itertools.chain([first], gen), name
                 return backend.complete(messages, **kw), name
             except Exception as e:
                 last_err = e

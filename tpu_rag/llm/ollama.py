@@ -90,7 +90,13 @@ class OllamaBackend(LLMBackend):
                     for line in r.iter_lines():
                         if not line:
                             continue
-                        piece = self._extract(json.loads(line.decode("utf-8")))
+                        obj = json.loads(line.decode("utf-8"))
+                        if isinstance(obj, dict) and obj.get("error"):
+                            # mid-stream NDJSON errors arrive on a 200
+                            # response; swallowing them ended the stream as
+                            # if it had completed
+                            raise RuntimeError(f"ollama: {obj['error']}")
+                        piece = self._extract(obj)
                         if piece:
                             yield piece
                     return

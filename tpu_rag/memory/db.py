@@ -92,6 +92,19 @@ class ConversationDB:
             conn.execute(
                 "CREATE INDEX IF NOT EXISTS idx_messages_thread ON messages(thread_id, id)"
             )
+            # (source, ref_id) is the upsert identity: without a UNIQUE
+            # constraint two concurrent upserts of the same item both passed
+            # the SELECT check and inserted duplicates.  Dedupe first so the
+            # index creation succeeds on databases that already raced (the
+            # DELETE fires the FTS trigger, keeping kb_fts consistent).
+            conn.execute(
+                """DELETE FROM kb_items WHERE id NOT IN (
+                SELECT MAX(id) FROM kb_items GROUP BY source, ref_id)"""
+            )
+            conn.execute(
+                "CREATE UNIQUE INDEX IF NOT EXISTS idx_kb_src_ref "
+                "ON kb_items(source, ref_id)"
+            )
             conn.commit()
         finally:
             conn.close()
@@ -189,20 +202,17 @@ class ConversationDB:
     def upsert_kb_item(self, source: str, ref_id: str, title: str, content: str) -> None:
         conn = self._db()
         try:
-            cur = conn.execute(
-                "SELECT id FROM kb_items WHERE source=? AND ref_id=?", (source, ref_id)
+            # atomic upsert (UNIQUE(source, ref_id)): the old SELECT-then-
+            # INSERT let two concurrent upserts both insert.  DO UPDATE
+            # preserves the rowid, so the FTS UPDATE trigger keeps kb_fts
+            # aligned exactly like the old in-place UPDATE did.
+            conn.execute(
+                "INSERT INTO kb_items(source, ref_id, title, content, updated_ts) "
+                "VALUES(?,?,?,?,?) ON CONFLICT(source, ref_id) DO UPDATE SET "
+                "title=excluded.title, content=excluded.content, "
+                "updated_ts=excluded.updated_ts",
+                (source, ref_id, title, content, int(time.time())),
             )
-            row = cur.fetchone()
-            if row:
-                conn.execute(
-                    "UPDATE kb_items SET title=?, content=?, updated_ts=? WHERE id=?",
-                    (title, content, int(time.time()), row[0]),
-                )
-            else:
-                conn.execute(
-                    "INSERT INTO kb_items(source, ref_id, title, content, updated_ts) VALUES(?,?,?,?,?)",
-                    (source, ref_id, title, content, int(time.time())),
-                )
             conn.commit()
         finally:
             conn.close()

@@ -102,7 +102,10 @@ def hit_updated_ts(h: dict) -> int:
 
 def base_similarity(h: dict) -> float:
     """rerank score when present, else 1/(1+distance)
-    (reference api/app.py:327-337)."""
+    (reference api/app.py:327-337).  FTS hits carry NEGATIVE bm25 scores
+    (score_kind="bm25") — 1/(1+d) would invert their ranking and divide by
+    zero at -1.0, so they use -bm25 (higher = better; min-max normalization
+    in mix_with_recency puts both families on [0, 1])."""
     if "rerank_score" in h:
         try:
             return float(h["rerank_score"])
@@ -112,7 +115,9 @@ def base_similarity(h: dict) -> float:
     try:
         if d is None:
             return 0.0
-        return 1.0 / (1.0 + float(d))
+        if h.get("score_kind") == "bm25":
+            return -float(d)
+        return 1.0 / (1.0 + max(0.0, float(d)))
     except (TypeError, ValueError):
         return 0.0
 
