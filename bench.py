@@ -34,7 +34,7 @@ import numpy as np, jax, jax.numpy as jnp
 from tpu_rag.utils.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 from tpu_rag.ops import PAD_TAG, fused_matmul_topk
-from tpu_rag.ops.topk import default_block_n
+from tpu_rag.ops.topk import default_block_n, packed_k_scan
 n, d, ks = {n}, {d}, {ks}
 bn = default_block_n(d, 2, 8192)
 n_pad = -(-n // bn) * bn
@@ -47,8 +47,12 @@ n_pad_p = -(-n // bn_p) * bn_p
 x_p = jnp.zeros((n_pad_p, d), jnp.bfloat16)
 t_p = jnp.zeros((n_pad_p,), jnp.int32)
 packed_ok = True
-for k in ks:
-    for mode in ("exact", "bucketed", "packed"):
+for mode in ("exact", "bucketed", "packed"):
+    # packed is measured at its own serving oversample (packed_k_scan) in
+    # the 100K section and at the raw k in the 10M timing section
+    kl = tuple(sorted({packed_k_scan(min(ks), n), min(ks)})) \
+        if mode == "packed" else ks
+    for k in kl:
         bnu = bn_p if mode == "packed" else bn
         xx_u, t_u = (x_p, t_p) if mode == "packed" else (x, t)
         fn = jax.jit(lambda q, xx, t, w, m=mode, kk=k, b=bnu: fused_matmul_topk(
@@ -323,13 +327,19 @@ def main() -> None:
         pallas_bucketed = jax.jit(lambda q, xx, t, w: fused_matmul_topk(
             q, xx, k_scan, ns_tags=t, canon_tags=t, wants=w,
             assume_padded=True, block_n=bn, mode="bucketed"))
-        # packed selection (ops/topk.py _packed_tile_kernel): the serving
-        # default for bf16 corpora below the bucketed threshold — quasi-exact
-        # scan (~bf16 score resolution), f32 order restored by the refine
-        # that measure() times.  Tile height per the packed VMEM budget.
+        # packed selection (ops/topk.py _packed_tile_kernel): explicit
+        # opt-in mode, quasi-exact (~fp16 score resolution) — measured here
+        # at ITS serving oversample, packed_k_scan (the 2k oversample lost
+        # 20% recall@10 to equal-key tie flooding at this clustered 100K
+        # corpus in BENCH_r03; the wider oversample is part of the mode's
+        # contract).  f32 order restored by the refine measure() times.
+        from tpu_rag.ops.topk import packed_k_scan
+
+        kp_scan = refine_k_scan("bfloat16", 4, k, n, mode="packed")
+        assert kp_scan == packed_k_scan(k, n)  # bench measures serving's path
         bn_packed = default_block_n(d, 2, 16384, mode="packed")
         pallas_packed = jax.jit(lambda q, xx, t, w: fused_matmul_topk(
-            q, xx, k_scan, ns_tags=t, canon_tags=t, wants=w,
+            q, xx, kp_scan, ns_tags=t, canon_tags=t, wants=w,
             assume_padded=True, block_n=bn_packed, mode="packed"))
         results["pallas_fused"] = measure(lambda: pallas_exact(qj, xj, tj, wants))
         results["pallas_bucketed"] = measure(lambda: pallas_bucketed(qj, xj, tj, wants))

@@ -1,6 +1,7 @@
 """FlatIndex / IVFIndex / persistence tests (recall vs brute force, CRUD)."""
 
 import numpy as np
+import pytest
 
 from tpu_rag.index import FlatIndex, IVFIndex, load_index, save_index
 
@@ -391,20 +392,20 @@ def test_int8_refine_recovers_recall():
 
 def test_auto_search_mode_routing():
     """"auto" (the default) resolves below auto_bucketed_min_rows to the
-    packed selection (bf16/int8 storage — the refine restores f32 order) or
-    plain exact (f32 storage / refine off), and to bucketed at/above the
-    threshold; explicit modes pass through unchanged."""
-    idx = FlatIndex(64)  # dtype bfloat16, refine on -> packed
+    exact kernel — NEVER packed (BENCH_r03 measured packed recall@10 0.8031
+    on real v5e from equal-key tie flooding while exact measured 1.0 at
+    higher QPS) — and to bucketed at/above the threshold; explicit modes
+    pass through unchanged."""
+    idx = FlatIndex(64)  # dtype bfloat16, refine on
     assert idx.search_mode == "auto"
-    assert idx.effective_search_mode(idx.auto_bucketed_min_rows - 1) == "packed"
+    assert idx.effective_search_mode(idx.auto_bucketed_min_rows - 1) == "exact"
     assert idx.effective_search_mode(idx.auto_bucketed_min_rows) == "bucketed"
     f32 = FlatIndex(64, dtype="float32")
-    assert f32.effective_search_mode(10) == "exact"  # no refine stage in f32
-    norefine = FlatIndex(64)
-    norefine.refine_factor = 0
-    assert norefine.effective_search_mode(10) == "exact"
+    assert f32.effective_search_mode(10) == "exact"
+    assert FlatIndex(64, dtype="int8").effective_search_mode(10) == "exact"
     assert FlatIndex(64, search_mode="exact").effective_search_mode(10**8) == "exact"
     assert FlatIndex(64, search_mode="bucketed").effective_search_mode(10) == "bucketed"
+    assert FlatIndex(64, search_mode="packed").effective_search_mode(10) == "packed"
 
 
 def test_auto_search_mode_runs_bucketed_kernel():
@@ -442,10 +443,11 @@ def test_bucketed_recall_at_scale():
     assert rec >= 0.95
 
 
-def test_packed_mode_demotes_on_kernel_failure(monkeypatch):
-    """If the packed kernel is rejected by the backend compiler, auto-mode
-    serving must demote to the exact kernel and answer the query (never
-    surface a 500) — the Mosaic-rejection safety net."""
+def test_explicit_packed_surfaces_kernel_failure(monkeypatch):
+    """Packed is explicit opt-in only: a kernel failure must surface to the
+    caller unwrapped (no silent demotion that would mask a mode the user
+    pinned on purpose).  Auto mode never routes packed, so it never hits
+    the failing path at all."""
     import tpu_rag.index.flat as flat_mod
 
     orig = flat_mod.fused_matmul_topk
@@ -457,15 +459,52 @@ def test_packed_mode_demotes_on_kernel_failure(monkeypatch):
 
     monkeypatch.setattr(flat_mod, "fused_matmul_topk", failing)
     ids, vecs, docs, metas = _corpus(n=600, d=64)
-    idx = FlatIndex(64, dtype="bfloat16", use_pallas=True)
-    idx.add(ids, vecs, docs, metas)
-    assert idx.effective_search_mode(600) == "packed"
     rng = np.random.default_rng(3)
     q = rng.standard_normal((2, 64)).astype(np.float32)
-    res = idx.search(q, 5)              # demotes internally, then retries
+    auto = FlatIndex(64, dtype="bfloat16", use_pallas=True)
+    auto.add(ids, vecs, docs, metas)
+    res = auto.search(q, 5)             # auto = exact; never touches packed
     assert all(len(r) == 5 for r in res.ids)
-    assert not idx._packed_ok
-    assert idx.effective_search_mode(600) == "exact"
+    pinned = FlatIndex(64, dtype="bfloat16", use_pallas=True,
+                       search_mode="packed")
+    pinned.add(ids, vecs, docs, metas)
+    with pytest.raises(RuntimeError, match="simulated mosaic rejection"):
+        pinned.search(q, 5)
+
+
+def test_packed_tie_flood_recall_within_oversample():
+    """Regression for BENCH_r03's packed recall 0.8031: scores tied within
+    the packed key's ~2^-10 relative resolution are selected by index, not
+    true score — the packed_k_scan oversample (>= 64) must cover the tie
+    census so the f32 refine restores the exact order.  50 near-duplicate
+    rows (f32-distinct, key-tied) flood rank-10; the old 2k oversample
+    returned ~the 20 lowest-INDEX dupes and lost the true top-10."""
+    rng = np.random.default_rng(11)
+    d, n_dupes, k = 64, 50, 10
+    base = rng.standard_normal(d).astype(np.float32)
+    base /= np.linalg.norm(base)
+    # near-duplicates: cosine gaps ~1e-5 — far above f32 resolution (so a
+    # true order exists) but far below the 18-bit key ulp at score ~1.0
+    # (~2e-3), so the packed scan sees all 50 as one equal-key flood
+    dupes = base[None, :] + 3e-3 * rng.standard_normal((n_dupes, d)).astype(np.float32)
+    rest = rng.standard_normal((3000, d)).astype(np.float32)
+    rest /= np.linalg.norm(rest, axis=1, keepdims=True) * 2  # strictly worse
+    vecs = np.concatenate([rest, dupes]).astype(np.float32)
+    ids = [str(i) for i in range(len(vecs))]
+    pinned = FlatIndex(d, dtype="bfloat16", use_pallas=True,
+                       search_mode="packed")
+    pinned.pallas_min_rows = 0
+    pinned.add(ids, vecs, ["t"] * len(vecs), [{} for _ in vecs])
+    q = base[None, :]
+    # ground truth from the index's own f32 master copy (identical
+    # normalization and summation order as the refine uses) — an
+    # independently-built exact index would re-introduce f32 tie noise
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sc_all = pinned._arena.view @ qn[0]
+    truth_rows = set(np.argsort(-sc_all, kind="stable")[:k].tolist())
+    got = pinned.search(q, k)
+    rec = len(truth_rows & set(got.rows[0])) / k
+    assert rec == 1.0, f"packed oversample failed the tie flood: {rec}"
 
 
 def test_auto_dtype_resolves_and_crosses_threshold(tmp_path):

@@ -80,8 +80,9 @@ class Config:
                                         # the f32 refine keeps recall >= 0.99;
                                         # see FlatIndex.dtype)
     index_kind: str = "flat"            # flat | ivf
-    index_search_mode: str = "auto"     # auto | packed/exact below 2M rows,
-                                        # bucketed above — see
+    index_search_mode: str = "auto"     # auto = exact below 2M rows, bucketed
+                                        # above; "packed" is explicit opt-in
+                                        # only (quasi-exact) — see
                                         # FlatIndex.effective_search_mode
     block_n: int = 8192                 # db rows per Pallas tile (cap; VMEM budget may lower it)
     ivf_nlist: int = 0                  # 0 = auto (~sqrt(N))

@@ -35,7 +35,8 @@ from tpu_rag.index.arena import VectorArena
 from tpu_rag.index.filter import TagVocab
 from tpu_rag.index.rowmeta import RowIdMap, RowSeq
 from tpu_rag.ops.quant import quantize_int8_rows
-from tpu_rag.ops.topk import PAD_TAG, fused_matmul_topk, topk_xla_reference
+from tpu_rag.ops.topk import (PAD_TAG, fused_matmul_topk, packed_k_scan,
+                              topk_xla_reference)
 
 # Fixed chunk shapes keep these jitted updaters at one compilation each.
 # No buffer donation: concurrent searches may still hold the previous
@@ -46,16 +47,24 @@ APPEND_GRANULE = 256
 KILL_GRANULE = 64
 
 
-def refine_k_scan(dtype: str, refine_factor: int, k: int, n: int) -> int:
+def refine_k_scan(dtype: str, refine_factor: int, k: int, n: int,
+                  mode: str = "exact") -> int:
     """Candidate count for the two-stage refine (scan k_scan, re-score in
     f32 on host, keep top k).  int8 scans the full refine_factor*k —
     quantization error genuinely reorders candidates; bf16 only needs to
     recover rounding-order near-ties, so 2x oversampling suffices and halves
     the in-kernel top-k loop passes (the exact kernel's per-tile cost is
     linear in k_scan).  Recall for both is CI-gated >= 0.99
-    (tests/test_incremental.py::test_int8_refine_recall_gate)."""
+    (tests/test_incremental.py::test_int8_refine_recall_gate).
+
+    mode="packed" (explicit opt-in only) selects at ~fp16 score resolution
+    with index tie-breaks, so its oversample must cover the equal-key tie
+    census, not just quantization reorder — packed_k_scan's floor (measured
+    on v5e at 100K clustered rows, ops/topk.py)."""
     if refine_factor <= 0 or dtype not in ("int8", "bfloat16"):
         return k
+    if mode == "packed":
+        return packed_k_scan(k, n)
     f = refine_factor if dtype == "int8" else min(refine_factor, 2)
     return min(max(k * f, k), max(n, 1))
 
@@ -236,9 +245,6 @@ class FlatIndex:
         # reclaim host arena/row-store space for tombstoned rows whenever a
         # full device rebuild happens with > max_dead_fraction dead rows
         self.auto_vacuum = True
-        # flips False if the packed kernel fails on this backend (Mosaic
-        # rejection safety net — auto mode then serves plain exact)
-        self._packed_ok = True
         self._pending_add: list[int] = []      # host rows awaiting device append
         self._pending_dead: list[int] = []     # host rows awaiting device kill
         self._append_rows: np.ndarray | None = None  # append slot -> host row
@@ -792,34 +798,25 @@ class FlatIndex:
 
     def effective_search_mode(self, n: int) -> str:
         """Resolve "auto" per corpus size: below auto_bucketed_min_rows the
-        per-tile top-k kernels are affordable — "packed" (one max-reduce per
-        selection pass, ~bf16 score resolution, re-ordered exactly by the
-        always-on refine) when the storage dtype has a refine stage, plain
-        "exact" otherwise; above the threshold, one-pass bucketed
-        (structural recall >= 0.997 at the threshold and rising with n —
-        see __init__)."""
+        per-tile exact top-k kernel (recall 1.0 by construction); above the
+        threshold, one-pass bucketed (structural recall >= 0.997 at the
+        threshold and rising with n — see __init__).
+
+        "packed" is NEVER auto-selected: its (score|index) key selects at
+        ~fp16 score resolution with index tie-breaks, and the tie census
+        grows with corpus density per score-ulp — BENCH_r03 measured
+        recall@10 0.8031 on real v5e at 100K clustered rows when packed was
+        the auto default with a 2k oversample, while the exact kernel at
+        the same scale measured recall 1.0 at HIGHER QPS (63.2K vs 56.6K).
+        Packed remains available as an explicit opt-in (search_mode=
+        "packed") with the packed_k_scan oversample, for callers who have
+        validated its recall on their own score distribution (hardware
+        recall gate: bench.py paths_recall)."""
         if self.search_mode != "auto":
             return self.search_mode
         if n >= self.auto_bucketed_min_rows:
             return "bucketed"
-        if (self._packed_ok and self.dtype in ("bfloat16", "int8")
-                and self.refine_factor > 0):
-            return "packed"
         return "exact"
-
-    def _demote_packed(self, err: Exception) -> None:
-        """The packed kernel failed to compile/run on this backend: demote
-        auto-mode to plain exact for this index and force a snapshot
-        rebuild (the exact-mode tile height does not divide the packed
-        padding for every dim, so the padded layout must be recomputed)."""
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "packed selection unavailable on this backend (%s); "
-            "auto mode demoted to exact", err)
-        self._packed_ok = False
-        with self._lock:
-            self._dirty = True
 
     def search(
         self,
@@ -851,21 +848,25 @@ class FlatIndex:
         qj = jnp.asarray(queries)
         # two-stage refine: oversample candidates on the quantized scan and
         # re-score that handful exactly below.  int8 uses refine_factor;
-        # bf16 (exact AND bucketed modes) uses a fixed 2x oversample — see
-        # refine_k_scan and the recall gates in tests/test_incremental.py.
-        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
+        # bf16 (exact AND bucketed modes) uses a fixed 2x oversample;
+        # explicit packed mode widens to packed_k_scan (tie-census cover) —
+        # see refine_k_scan and the recall gates in tests/test_incremental.py.
+        use_pallas_path = (self.use_pallas
+                           and snap["n_pad"] >= self.pallas_min_rows)
+        mode = self.effective_search_mode(snap["n"]) if use_pallas_path else "exact"
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype),
+                               self.refine_factor, k, snap["n"], mode=mode)
         # cache the filter pair as a device array: a fresh host->device
         # transfer per search costs a full RTT on tunneled backends
         wants = self._wants_cache.get((want_ns, want_canon))
         if wants is None:
             wants = jnp.array([[want_ns, want_canon]], jnp.int32)
             self._wants_cache[(want_ns, want_canon)] = wants
-        if self.use_pallas and snap["n_pad"] >= self.pallas_min_rows:
+        if use_pallas_path:
             # one jitted callable per (k, tile, mode): the pallas_call, its
             # padding/slicing glue, and the final merge top_k compile into a
             # SINGLE executable -> one dispatch per search (eager glue ops
             # each cost a dispatch, which dominates at small corpora)
-            mode = self.effective_search_mode(snap["n"])
             pfn = self._xla_fn_cache.get(("pallas", k_scan, snap["bn"], mode))
             if pfn is None:
                 bn = snap["bn"]
@@ -873,19 +874,11 @@ class FlatIndex:
                     q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
                     wants=w, block_n=bn, assume_padded=True, mode=mode))
                 self._xla_fn_cache[("pallas", k_scan, snap["bn"], mode)] = pfn
-            try:
-                sc, idx = pfn(qj, snap["vectors"], snap["scales"],
-                              snap["ns"], snap["canon"], wants)
-            except Exception as e:
-                # retry only if demotion actually changes the mode — an
-                # EXPLICIT search_mode="packed" must surface the real error,
-                # not recurse (effective_search_mode ignores _packed_ok for
-                # explicit modes)
-                if mode != "packed" or self.search_mode != "auto":
-                    raise
-                self._demote_packed(e)  # retry on the plain exact kernel
-                return self.search(queries, k, namespace=namespace,
-                                   canonicality=canonicality)
+            # mode "packed" only ever arrives here by EXPLICIT opt-in
+            # (auto resolves exact/bucketed — effective_search_mode), so
+            # kernel failures surface to the caller unwrapped
+            sc, idx = pfn(qj, snap["vectors"], snap["scales"],
+                          snap["ns"], snap["canon"], wants)
         else:
             fn = self._xla_fn_cache.get(k_scan)
             if fn is None:
@@ -932,10 +925,13 @@ class FlatIndex:
         if want_ns == -2 or want_canon == -2 or self.count() == 0:
             return None
         snap = self.device_snapshot()
-        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
+        n_pad = snap["n_pad"]
+        use_pallas = self.use_pallas and n_pad >= self.pallas_min_rows
+        mode = self.effective_search_mode(snap["n"]) if use_pallas else "exact"
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype),
+                               self.refine_factor, k, snap["n"], mode=mode)
         wants = self._wants_2d(want_ns, want_canon)
         b, t = ids.shape
-        n_pad = snap["n_pad"]
         # the device-side residual refine keeps recall at the host-refine
         # level without reading the query embeddings back; when the snapshot
         # has no residuals (f32 storage, refine disabled, or an oversized
@@ -946,8 +942,6 @@ class FlatIndex:
         ret_qv = return_qv or host_refine or (
             snap.get("a_fill", 0) > 0 and not have_append)
         k_out = k if dev_refine else k_scan
-        use_pallas = self.use_pallas and n_pad >= self.pallas_min_rows
-        mode = self.effective_search_mode(snap["n"]) if use_pallas else "exact"
         key = ("fused", fkey, b, t, k_scan, snap["bn"], mode, use_pallas,
                mask is None, ret_qv, str(np.asarray(ids).dtype),
                dev_refine, have_append)
@@ -1031,20 +1025,13 @@ class FlatIndex:
             if have_append:
                 extras["a_r_vectors"] = snap["a_r_vectors"]
                 extras["a_r_scales"] = snap["a_r_scales"]
-        try:
-            packed = np.asarray(fn(params, jnp.asarray(ids),
-                                   None if mask is None else jnp.asarray(mask),
-                                   snap["vectors"], snap["scales"],
-                                   snap["ns"], snap["canon"], wants,
-                                   extras))[:nq]
-        except Exception as e:
-            if use_pallas and mode == "packed" and self.search_mode == "auto":
-                # Mosaic rejected the packed kernel: demote and let the
-                # caller fall back to the two-step path (which retries on
-                # the plain exact kernel)
-                self._demote_packed(e)
-                return None
-            raise
+        # mode "packed" only ever arrives here by explicit opt-in (auto
+        # resolves exact/bucketed), so kernel failures surface unwrapped
+        packed = np.asarray(fn(params, jnp.asarray(ids),
+                               None if mask is None else jnp.asarray(mask),
+                               snap["vectors"], snap["scales"],
+                               snap["ns"], snap["canon"], wants,
+                               extras))[:nq]
         sc = packed[:, :k_out].copy()
         idx = np.ascontiguousarray(packed[:, k_out:2 * k_out]).view(np.int32)
         qv_np = packed[:, 2 * k_out:].copy() if ret_qv else None

@@ -86,6 +86,10 @@ def default_block_n(dim: int, dtype_bytes: int, requested: int = 8192,
     bn = min(requested,
              max(256, tile_budget // max(1, dim * dtype_bytes)),
              max(256, score_budget // (QP_MAX * 12)))
+    if mode == "packed":
+        # the packed (score|index) key reserves PACKED_IDX_BITS for the
+        # within-tile index (int8 tiles would otherwise exceed it)
+        bn = min(bn, PACKED_BN_MAX)
     return max(256, (bn // 256) * 256)
 
 
@@ -170,6 +174,30 @@ def _bitcast32(x, dtype, *, interpret: bool):
     return pltpu.bitcast(x, dtype)
 
 
+#: Within-tile index bits in the packed (score|index) key.  14 bits covers
+#: the packed tile cap (bn <= 16384) and leaves 18 bits of sortable score
+#: (sign + 8 exponent + 9 mantissa ~ fp16-grade, 4x finer than the original
+#: 16-bit layout).  Resolution is the recall-critical knob: with 16-bit keys
+#: (~bf16 resolution) a clustered 100K corpus floods rank-10 with up to ~90
+#: equal-key ties (measured on v5e — BENCH_r03 packed recall 0.8031 with a
+#: 2k oversample); 18-bit keys cut the tie census ~4x.
+PACKED_IDX_BITS = 14
+PACKED_BN_MAX = 1 << PACKED_IDX_BITS
+
+
+def packed_k_scan(k: int, n: int) -> int:
+    """Refine oversample for packed-mode selection.  Packed ties are broken
+    by lowest index, not true score, so the oversample must cover the
+    equal-key tie census at rank k — measured at 100K clustered rows on
+    v5e: max 90 tied keys at 16-bit resolution, ~4x fewer at the 18-bit
+    layout above.  max(4k, 64) covered that census with margin (k_scan=64
+    measured recall 0.9937 even at 16-bit keys; 128 measured 1.0).  The
+    census scales with corpus density per score-ulp, i.e. with n — packed
+    is therefore quasi-exact by design and auto-mode serving routes exact
+    instead (flat.py effective_search_mode)."""
+    return min(max(4 * k, 64), max(n, 1))
+
+
 def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
                         qscale_ref, sc_ref, id_ref, *, k_eff: int, bn: int,
                         qp: int, kpad: int, is_int8: bool,
@@ -180,15 +208,18 @@ def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     recovery sweep and no multi-lane tie handling (vs ~6 buffer traversals
     per pass in _topk_tile_kernel).
 
-    The pack keeps the top 16 bits of the sortable score (sign + exponent +
-    7 mantissa bits ~ bf16 resolution) and 16 bits of within-tile index
-    (bn <= 65536).  Selection therefore treats scores equal within ~2^-8
-    relative as ties broken by lowest index; the two-stage refine
-    (flat.py refine_k_scan — always on for bf16/int8 corpora) re-scores the
-    oversampled candidates in ~f32, so end-to-end ranking quality matches
-    the exact kernel (recall gates in tests/test_ops_topk.py).  -inf
-    (masked/padded lanes) reconstructs to exactly -inf (see the low-bit
-    fill in the loop), so the wrapper's id -1 convention holds."""
+    The pack keeps the top 18 bits of the sortable score (sign + exponent +
+    9 mantissa bits ~ fp16 resolution) and PACKED_IDX_BITS=14 bits of
+    within-tile index (bn <= 16384).  Selection therefore treats scores
+    equal within ~2^-10 relative as ties broken by lowest index; the
+    two-stage refine (flat.py refine_k_scan with the packed_k_scan
+    oversample above) re-scores the oversampled candidates in ~f32.  Tie
+    flooding still grows with corpus density per score-ulp, so packed is
+    quasi-exact, opt-in, and NOT the auto serving mode (BENCH_r03 measured
+    recall 0.8031 at the old 16-bit/2k-oversample configuration on real
+    hardware).  -inf (masked/padded lanes) reconstructs to exactly -inf
+    (see the low-bit fill in the loop), so the wrapper's id -1 convention
+    holds."""
     i = pl.program_id(0)
     x = x_ref[:]
     # same MXU orientation rationale as _topk_tile_kernel
@@ -222,8 +253,9 @@ def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     base = jnp.int32(i * bn)
 
     key = _sortable_key(_bitcast32(scores, jnp.int32, interpret=interpret))
-    hi = jnp.int32(-65536)  # 0xFFFF0000 as int32
-    packed = (key & hi) | (jnp.int32(0xFFFF) - col)
+    idx_mask = jnp.int32(PACKED_BN_MAX - 1)   # 0x3FFF
+    hi = jnp.int32(-PACKED_BN_MAX)            # 0xFFFFC000 as int32
+    packed = (key & hi) | (idx_mask - col)
 
     neg_inf = jnp.float32(-jnp.inf)
     int_min = jnp.int32(-(2**31))
@@ -232,12 +264,12 @@ def _packed_tile_kernel(wants_ref, q_ref, x_ref, ns_ref, canon_ref, scale_ref,
     for j in range(k_eff):
         m = jnp.max(packed, axis=1, keepdims=True)            # (QP, 1)
         packed = jnp.where(packed == m, int_min, packed)      # unique winner
-        idx = jnp.int32(0xFFFF) - (m & jnp.int32(0xFFFF))
+        idx = idx_mask - (m & idx_mask)
         # low-bit fill before the inverse map: negative keys complement their
         # low 31 bits, so filling with ones makes the reconstructed mantissa
-        # low bits zero — in particular -inf (key_hi 0x807F0000) comes back
-        # as exactly -inf instead of a NaN bit pattern
-        fill = jnp.where(m < 0, jnp.int32(0xFFFF), jnp.int32(0))
+        # low bits zero — in particular -inf (key_hi sign+max-exponent bits)
+        # comes back as exactly -inf instead of a NaN bit pattern
+        fill = jnp.where(m < 0, idx_mask, jnp.int32(0))
         sc = _bitcast32(_sortable_key((m & hi) | fill), jnp.float32,
                         interpret=interpret)
         sc_acc = jnp.where(kcol == j, sc, sc_acc)
@@ -383,8 +415,10 @@ def _fused_topk_padded(q_pad, x_pad, ns_pad, canon_pad, scale_pad, qscale_pad,
                        wants, *, k: int, is_int8: bool, interpret: bool,
                        qp: int, nt: int, bn: int, packed: bool = False):
     kpad = _round_up(max(k, 1), _LANE)
-    if packed and bn > 65536:
-        raise ValueError("packed selection needs bn <= 65536 (16 index bits)")
+    if packed and bn > PACKED_BN_MAX:
+        raise ValueError(
+            f"packed selection needs bn <= {PACKED_BN_MAX} "
+            f"({PACKED_IDX_BITS} index bits)")
     if packed:
         kern = functools.partial(
             _packed_tile_kernel, k_eff=k, bn=bn, qp=qp, kpad=kpad,
@@ -458,12 +492,14 @@ def fused_matmul_topk(
     """Top-k inner-product search: returns (scores (q,k) f32, ids (q,k) i32).
 
     mode="exact": per-tile exact top-k (k passes) -> exact global top-k.
-    mode="packed": per-tile top-k at ~bf16 score resolution (packed
+    mode="packed": per-tile top-k at ~fp16 score resolution (packed
       score|index selection — one max-reduce per pass instead of three
-      sweeps); exact up to score ties within ~2^-8 relative, which the
-      two-stage refine re-orders in f32.  The fast default for the
-      exact-regime corpora (< auto_bucketed_min_rows) with bf16/int8
-      storage.
+      sweeps); exact up to score ties within ~2^-10 relative, broken by
+      lowest index.  Tie flooding scales with corpus density per
+      score-ulp, so callers MUST oversample (packed_k_scan) and re-score
+      in f32; quasi-exact, opt-in — auto-mode serving uses "exact"
+      instead (measured on v5e: 16-bit keys + 2k oversample lost 20%
+      recall@10 on a clustered 100K corpus).
     mode="bucketed": one-pass per-128-row-bucket maxima -> approximate
       (recall ~>0.99 for k << n/128); much less VPU work per tile.
       Requires n >> 128*k — with fewer rows there are fewer candidates
@@ -575,10 +611,15 @@ def fused_matmul_topk(
 
 def _stream_only_kernel(x_ref, out_ref):
     # one cheap VPU reduce per tile so the DMA cannot be elided; each step
-    # writes its own output row (no cross-step dependency to serialize the
-    # pipeline)
-    col = jnp.sum(x_ref[:].astype(jnp.float32), axis=0)       # (D,)
-    out_ref[:] = jnp.sum(col.reshape(-1, _LANE), axis=0).reshape(1, _LANE)
+    # writes its own output block (no cross-step dependency to serialize
+    # the pipeline).  The block is (1, 8, D) — a (1, LANE) row would
+    # violate Mosaic's block-shape rule (second-to-last dim must be
+    # divisible by 8 or equal the array dim; this was the r3 scale_10m
+    # crash), and a (D,) -> (D//LANE, LANE) reshape is an unsupported
+    # Mosaic shape cast — so the (1, D) sublane reduce is broadcast
+    # across 8 sublanes unreshaped.
+    col = jnp.sum(x_ref[:].astype(jnp.float32), axis=0, keepdims=True)
+    out_ref[:] = jnp.broadcast_to(col[None], (1, 8, col.shape[1]))
 
 
 @functools.partial(jax.jit, static_argnames=("bn", "interpret"))
@@ -598,13 +639,14 @@ def dma_floor_scan(x_pad, *, bn: int, interpret: bool = False):
         grid=(nt,),
         in_specs=[pl.BlockSpec((bn, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, _LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt, _LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt, 8, d), jnp.float32),
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(x_pad)
-    return jnp.sum(out)
+    # each tile's reduce is replicated over 8 sublanes — divide it back out
+    return jnp.sum(out) / 8.0
 
 
 def topk_xla_reference(

@@ -252,13 +252,14 @@ class ShardedFlatIndex(FlatIndex):
 
         snap = self.device_snapshot()
         # int8 two-stage refine (same as FlatIndex): oversample on the scan,
-        # re-score the handful exactly on host
-        k_scan = refine_k_scan(snap.get("dtype", self.dtype), self.refine_factor, k, snap["n"])
         # "auto" resolves per SHARD size: the corpus is sharded only over
         # self.axis, so per-shard rows = n / mesh.shape[axis] (NOT the total
         # device count — a data x model mesh shards rows over "data" only)
         mode = self.effective_search_mode(
             snap["n"] // max(1, self._mesh().shape[self.axis]))
+        # re-score the handful exactly on host
+        k_scan = refine_k_scan(snap.get("dtype", self.dtype),
+                               self.refine_factor, k, snap["n"], mode=mode)
         fn = self._search_fns.get((k_scan, mode))
         if fn is None:
             fn = make_sharded_search(self._mesh(), k=k_scan, use_pallas=self.use_pallas,
@@ -270,15 +271,10 @@ class ShardedFlatIndex(FlatIndex):
         if wants is None:
             wants = jnp.array([want_ns, want_canon], jnp.int32)
             self._wants_cache[("sharded", want_ns, want_canon)] = wants
-        try:
-            sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
-                         snap["ns"], snap["canon"], wants)
-        except Exception as e:
-            if mode != "packed" or self.search_mode != "auto":
-                raise  # explicit packed must surface the real error
-            self._demote_packed(e)  # retry on the plain exact kernel
-            return self.search(queries, k, namespace=namespace,
-                               canonicality=canonicality)
+        # mode "packed" only ever arrives here by explicit opt-in (auto
+        # resolves exact/bucketed), so kernel failures surface unwrapped
+        sc, gid = fn(jnp.asarray(queries), snap["vectors"], snap["scales"],
+                     snap["ns"], snap["canon"], wants)
         sc, gid = np.asarray(sc), np.asarray(gid)
         # padding rows sit at the end of the padded array, so a global padded
         # index < n equals the live-row position directly
