@@ -48,9 +48,9 @@ x_p = jnp.zeros((n_pad_p, d), jnp.bfloat16)
 t_p = jnp.zeros((n_pad_p,), jnp.int32)
 packed_ok = True
 for mode in ("exact", "bucketed", "packed"):
-    # packed is measured at its own serving oversample (packed_k_scan) in
-    # the 100K section and at the raw k in the 10M timing section
-    kl = tuple(sorted({packed_k_scan(min(ks), n), min(ks)})) \
+    # packed is measured at its own serving oversample (packed_k_scan)
+    # in both the 100K and 10M sections
+    kl = tuple(sorted({{packed_k_scan(min(ks), n), min(ks)}})) \
         if mode == "packed" else ks
     for k in kl:
         bnu = bn_p if mode == "packed" else bn
@@ -250,7 +250,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from tpu_rag.ops import PAD_TAG, fused_matmul_topk, topk_xla_reference
-    from tpu_rag.ops.topk import default_block_n
+    from tpu_rag.ops.topk import default_block_n, packed_k_scan
 
     # If the TPU backend is unreachable (tunnel outage), fall back to CPU
     # and record backend="cpu" rather than crashing with no JSON line —
@@ -390,6 +390,7 @@ def main() -> None:
     # concurrency — single-query mode exercises the cross-request
     # microbatcher, batched mode the queries[] extension (VERDICT r2 #1).
     e2e_p50_ms = None
+    e2e_recall_at_10 = None
     http_search_qps = None
     http_search_failed = None
     http_search = None
@@ -499,6 +500,35 @@ def main() -> None:
                 # 64 queries — the production bulk client path; 12x64=768
                 # queries in flight fills 256-query device windows 3 deep
                 http_batched = _load("batched", 12, 8, batch=64)
+
+                # Serving-path recall (VERDICT r3 #4): kernel-section recall
+                # does not protect the served path (mode selection, fused
+                # embed+search, device refine, append-block merge all differ)
+                # — measure THROUGH HTTP /search against f32 ground truth
+                # computed from the same encoder embedding and the index's
+                # own f32 master rows (ids are str(row) by construction).
+                try:
+                    probe_texts = [f"serving recall probe {i} topic {i % 13}"
+                                   for i in range(32)]
+                    qv = np.asarray(eng.embed(probe_texts), np.float32)
+                    qn = qv / np.maximum(
+                        np.linalg.norm(qv, axis=1, keepdims=True), 1e-9)
+                    master = np.asarray(idx._vectors, np.float32)
+                    gt_ids = np.argsort(-(qn @ master.T), axis=1)[:, :k]
+                    recs = []
+                    for qi, text in enumerate(probe_texts):
+                        req = urllib.request.Request(
+                            base + "/search",
+                            data=json.dumps({"query": text, "k": k,
+                                             "rerank": False}).encode(),
+                            headers={"content-type": "application/json"})
+                        body = json.loads(urllib.request.urlopen(
+                            req, timeout=120).read())
+                        got = {h["id"] for h in body.get("hits", [])[:k]}
+                        recs.append(len(got & {str(j) for j in gt_ids[qi]}) / k)
+                    e2e_recall_at_10 = round(float(np.mean(recs)), 4)
+                except Exception as e:
+                    e2e_recall_at_10 = {"error": str(e)[:160]}
 
                 # microbatch window-fill histogram + per-stage breakdown from
                 # the server's own metrics (proves the batching filled and
@@ -805,13 +835,16 @@ def main() -> None:
             # the VERDICT r2 #4 target is >=85% of HBM peak)
             r_bucketed, ids_gt_bf16 = _measure10("bucketed", x10)
             r_exact, _ = _measure10("exact", x10)
-            # packed selection (quasi-exact, refine restores f32 order):
-            # the candidate for closing the exact-vs-bucketed gap when a
-            # caller pins exact-grade results at 10M
+            # packed selection (explicit opt-in, quasi-exact): measured at
+            # its SERVING contract — the packed_k_scan oversample that the
+            # f32 refine re-orders (timing a raw-k packed scan would
+            # understate the mode's real pass count)
+            kp10 = packed_k_scan(k, n10)
             try:
                 if not packed_ok:
                     raise _SkipSection("packed preflight failed")
-                r_packed, _ = _measure10("packed", x10)
+                r_packed, _ = _measure10("packed", x10, kk=kp10)
+                r_packed["k_scan"] = kp10
             except Exception as e:
                 r_packed = {"error": str(e)[:100]}
             bn_sweep = []
@@ -887,7 +920,8 @@ def main() -> None:
                 if not packed_ok:
                     raise _SkipSection("packed preflight failed")
                 r_int8_packed, _ = _measure10("packed", xq8, scales=sq8,
-                                              bytes_per=1)
+                                              bytes_per=1, kk=kp10)
+                r_int8_packed["k_scan"] = kp10
             except Exception as e:
                 r_int8_packed = {"error": str(e)[:100]}
             floor_int8 = _measure_floor(xq8, 1)
@@ -922,10 +956,28 @@ def main() -> None:
                     tags=tags10f, wants_use=wants_f)
                 rf_bucketed["recall_vs_filtered_exact"] = _frecall(ids_fb)
                 if packed_ok:
+                    # packed's contract: oversampled scan + f32 refine — a
+                    # raw top-k read of the key-ordered scan would measure
+                    # tie order, not the mode (flat.py refine_k_scan)
                     rf_packed, ids_fp = _measure10(
                         "packed", xq8, scales=sq8, bytes_per=1,
-                        tags=tags10f, wants_use=wants_f)
-                    rf_packed["recall_vs_filtered_exact"] = _frecall(ids_fp)
+                        tags=tags10f, wants_use=wants_f, kk=kp10)
+                    rf_packed["k_scan"] = kp10
+
+                    @jax.jit
+                    def _refine_cand(cand, xx, scales, q):
+                        safe = jnp.clip(cand, 0, n10_pad - 1)
+                        v = (xx[safe].astype(jnp.float32)
+                             * scales[safe][:, :, None])         # (Q, C, d)
+                        s = jnp.einsum("qcd,qd->qc", v,
+                                       q.astype(jnp.float32))
+                        s = jnp.where(cand >= 0, s, -jnp.inf)
+                        top = jax.lax.top_k(s, k)[1]
+                        return jnp.take_along_axis(cand, top, axis=1)
+
+                    ids_fp_ref = np.asarray(_refine_cand(
+                        jnp.asarray(ids_fp), xq8, sq8, qj10))
+                    rf_packed["recall_vs_filtered_exact"] = _frecall(ids_fp_ref)
                 else:
                     rf_packed = {"skipped": "packed preflight failed"}
                 filtered = {"want_ns": 3, "selectivity": 0.125,
@@ -1109,6 +1161,9 @@ def main() -> None:
         "baseline_cpu_bruteforce_qps": round(cpu_qps, 1),
         "recall_at_10_vs_f32_exact": recall,
         "e2e_search_p50_ms": e2e_p50_ms,  # tokenize + encode + search + readback
+        # recall@10 measured THROUGH HTTP /search vs f32 exact ground truth
+        # on the engine's own embeddings — gates the full serving path
+        "e2e_recall_at_10": e2e_recall_at_10,
         "http_search_qps": http_search_qps,  # concurrent OK /search through the HTTP server
         "http_search_failed": http_search_failed,
         "http_search": http_search,    # 128-way single-query load: QPS, p50/95/99,

@@ -184,3 +184,50 @@ def test_query_vector_batch_takes_fused_path(tmp_path):
     ref = [[h["id"] for h in vector_hits(eng.index, enc.embed([q]), 5, None, None)]
            for q in qs]
     assert [[h["id"] for h in hits] for hits in got] == ref
+
+
+def test_fused_readback_ids_are_normal_floats(tmp_path):
+    """Regression for the v5e all-ids-decode-to-row-0 serving bug: the fused
+    readback packs int32 row ids into the f32 result by bitcast, and raw ids
+    < 2^23 are DENORMAL bitpatterns (id -1 is a NaN) that real TPU hardware
+    flushes to zero in data movement.  CPU preserves the bits, so this test
+    asserts the encoding invariant instead: every id lane of the packed
+    array must be a normal finite float (exponent != 0), which the _ID_BIAS
+    guarantees for ids in [-1, 2^31 - 2^23 - 2) on every backend."""
+    import jax
+
+    from tpu_rag.index import flat as flat_mod
+
+    enc = BiEncoder("tiny", seq_len=32, batch=8)
+    eng = RagEngine(_cfg(tmp_path, "normal", microbatch=False), encoder=enc)
+    _seed(eng, enc)
+
+    captured = {}
+    orig_jit = jax.jit
+
+    def spy_jit(fn, *a, **kw):
+        jitted = orig_jit(fn, *a, **kw)
+
+        def wrapped(*args, **kwargs):
+            out = jitted(*args, **kwargs)
+            captured["packed"] = np.asarray(out)
+            return out
+        return wrapped
+
+    flat_mod.jax.jit = spy_jit
+    try:
+        eng.index._xla_fn_cache.clear()
+        hits = eng.query_vector("document about topic-2 tok7", 5, None, None)
+    finally:
+        flat_mod.jax.jit = orig_jit
+    assert hits and "packed" in captured
+    k_out = 5
+    id_lanes = captured["packed"][:, k_out:2 * k_out]
+    bits = np.ascontiguousarray(id_lanes, np.float32).view(np.uint32)
+    exponents = (bits >> 23) & 0xFF
+    assert (exponents != 0).all(), "denormal id bitpatterns reach the wire"
+    assert (exponents != 0xFF).all(), "NaN/inf id bitpatterns reach the wire"
+    # and the decode still matches the two-step reference path
+    ref = vector_hits(eng.index, enc.embed(["document about topic-2 tok7"]),
+                      5, None, None)
+    assert [h["id"] for h in hits] == [h["id"] for h in ref]

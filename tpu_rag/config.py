@@ -111,6 +111,12 @@ class Config:
     microbatch_max: int = 64            # max queries fused into one device pass
     microbatch_workers: int = 2         # in-flight windows: worker B tokenizes/
                                         # dispatches while A waits on its readback
+    microbatch_hold_ms: float = 2.0     # adaptive coalescing window: a worker
+                                        # that would dispatch a small batch
+                                        # WHILE another window is already in
+                                        # flight waits up to this long for more
+                                        # arrivals (the in-flight window hides
+                                        # the hold); an idle server never holds
     http_executor_workers: int = 128    # handler thread pool.  The asyncio
                                         # default (min(32, cpus+4)) caps
                                         # concurrent in-flight requests — and
@@ -192,6 +198,7 @@ def config_from_env(dotenv: str | None = None) -> Config:
         microbatch=env_bool("MICROBATCH", d.microbatch),
         microbatch_max=env_int("MICROBATCH_MAX", d.microbatch_max),
         microbatch_workers=env_int("MICROBATCH_WORKERS", d.microbatch_workers),
+        microbatch_hold_ms=env_float("MICROBATCH_HOLD_MS", d.microbatch_hold_ms),
         http_executor_workers=env_int("HTTP_EXECUTOR_WORKERS",
                                       d.http_executor_workers),
     )

@@ -69,7 +69,8 @@ class RagEngine:
             self._microbatcher = MicroBatcher(
                 self._run_vector_batch, max_batch=self.config.microbatch_max,
                 name="vector_microbatch",
-                workers=self.config.microbatch_workers)
+                workers=self.config.microbatch_workers,
+                hold_ms=self.config.microbatch_hold_ms)
         self.indexer = DocIndexer(
             self.config.kb_db_path,
             embed_fn=self.embed,

@@ -46,6 +46,13 @@ from tpu_rag.ops.topk import (PAD_TAG, fused_matmul_topk, packed_k_scan,
 APPEND_GRANULE = 256
 KILL_GRANULE = 64
 
+# Added to int32 row ids before they are bitcast into the fused-path's f32
+# readback (search_fused): id -1 maps to bitpattern 0x00800000 (the smallest
+# normal positive float) and every id up to ~2.13e9 stays a normal float —
+# raw small ids are denormal bitpatterns that real TPU hardware flushes to
+# zero (every served id read back as row 0 on v5e; see search_fused).
+_ID_BIAS = 0x00800001
+
 
 def refine_k_scan(dtype: str, refine_factor: int, k: int, n: int,
                   mode: str = "exact") -> int:
@@ -1008,7 +1015,17 @@ class FlatIndex:
                 # backends.  Index values are bounded by n_pad + capacity, so
                 # the int32 cast is lossless even under jax_enable_x64 (where
                 # topk yields int64 and a raw bitcast would grow an axis).
-                parts = [sc, jax.lax.bitcast_convert_type(ii, jnp.float32)]
+                #
+                # _ID_BIAS before the bitcast: raw ids < 2^23 bitcast to
+                # DENORMAL f32 and id -1 to a NaN — real TPU hardware
+                # flushes denormals to zero in data movement, so every
+                # served id decoded as row 0 on v5e (caught by the round-4
+                # serving-path recall gate, bench.py e2e_recall_at_10; CPU
+                # CI preserved the bit patterns and never saw it).  The
+                # bias maps [-1, 2^31 - 2^23 - 2) onto normal positive
+                # float bitpatterns, which every backend moves losslessly.
+                parts = [sc, jax.lax.bitcast_convert_type(
+                    ii + jnp.int32(_ID_BIAS), jnp.float32)]
                 if ret_qv:
                     parts.append(q)
                 return jnp.concatenate(parts, axis=1)
@@ -1033,7 +1050,8 @@ class FlatIndex:
                                snap["ns"], snap["canon"], wants,
                                extras))[:nq]
         sc = packed[:, :k_out].copy()
-        idx = np.ascontiguousarray(packed[:, k_out:2 * k_out]).view(np.int32)
+        idx = (np.ascontiguousarray(packed[:, k_out:2 * k_out])
+               .view(np.int32) - _ID_BIAS)
         qv_np = packed[:, 2 * k_out:].copy() if ret_qv else None
         # device ids -> host rows: base rows via the snapshot map, append
         # rows (>= n_pad) via the append-slot map

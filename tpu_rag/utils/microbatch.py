@@ -12,6 +12,15 @@ runs alone.  Under concurrency, arrivals during an in-flight device call form
 the next batch.  (The reference stack had no equivalent; each request paid a
 full encoder forward + ANN query — api/app.py:539-566.)
 
+Adaptive hold (round-4, VERDICT r3 #6): pure drain-what-accumulated still
+dispatched 88 size-1 windows at concurrency 256 (BENCH_r03 window_hist) — a
+just-freed worker grabs a lone early arrival instead of letting stragglers
+join.  The fix keeps the zero-idle-latency invariant: a worker holds a
+SUB-FULL batch open for up to hold_s ONLY while another worker has a window
+in flight — the in-flight device call hides the hold entirely (windows
+serialize on the single chip anyway), and an idle server (no window in
+flight) still dispatches immediately.
+
 With workers > 1, that many windows are in flight at once: while one worker
 blocks on its device readback (a full RTT on tunneled backends), another
 tokenizes and dispatches the next window, so the device never idles between
@@ -24,6 +33,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Any, Callable
 
 from tpu_rag.utils.metrics import GLOBAL_METRICS
@@ -36,14 +46,20 @@ class MicroBatcher:
 
     def __init__(self, run_batch: Callable[[list], list], *,
                  max_batch: int = 64, name: str = "microbatch",
-                 workers: int = 1) -> None:
+                 workers: int = 1, hold_ms: float = 0.0) -> None:
         self._run = run_batch
         self.max_batch = max(1, int(max_batch))
         self.name = name
         self.workers = max(1, int(workers))
+        self.hold_s = max(0.0, float(hold_ms)) / 1e3
         self._q: queue.Queue = queue.Queue()
         self._threads: list[threading.Thread] = []
         self._start_lock = threading.Lock()
+        # number of workers currently inside run_batch — the "is a window in
+        # flight" signal the adaptive hold keys on (plain int mutations are
+        # fine: both sites hold _inflight_lock)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
 
     def _ensure_worker(self) -> None:
         alive = [t for t in self._threads if t.is_alive()]
@@ -81,21 +97,50 @@ class MicroBatcher:
         for t in threads:
             t.join(timeout=5.0)
 
+    def _drain(self, batch: list) -> bool:
+        """Move every queued item into batch (up to max_batch).  Returns
+        False if a stop sentinel was seen (left queued for a worker exit)."""
+        while len(batch) < self.max_batch:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return True
+            if item == (None, None):
+                self._q.put(item)  # keep the sentinel for a worker exit
+                return False
+            batch.append(item)
+        return True
+
     def _loop(self) -> None:
         while True:
             first = self._q.get()
             if first == (None, None):  # stop() sentinel
                 return
             batch = [first]
-            while len(batch) < self.max_batch:
-                try:
-                    item = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if item == (None, None):
-                    self._q.put(item)  # keep the sentinel for a worker exit
-                    break
-                batch.append(item)
+            keep_going = self._drain(batch)
+            # adaptive hold: only while another window is in flight (its
+            # device call hides the wait), never on an idle server, and only
+            # for sub-full batches.  One blocking get per wake keeps this a
+            # condvar wait, not a spin.
+            if keep_going and self.hold_s > 0 and len(batch) < self.max_batch:
+                with self._inflight_lock:
+                    other_busy = self._inflight > 0
+                if other_busy:
+                    GLOBAL_METRICS.inc(f"{self.name}_held_total")
+                    deadline = time.monotonic() + self.hold_s
+                    while len(batch) < self.max_batch:
+                        left = deadline - time.monotonic()
+                        if left <= 0:
+                            break
+                        try:
+                            item = self._q.get(timeout=left)
+                        except queue.Empty:
+                            break
+                        if item == (None, None):
+                            self._q.put(item)
+                            break
+                        batch.append(item)
+                        self._drain(batch)
             GLOBAL_METRICS.inc(f"{self.name}_batches_total")
             GLOBAL_METRICS.inc(f"{self.name}_items_total", len(batch))
             # window-fill histogram (power-of-two buckets): le_1, le_2, ...
@@ -103,6 +148,8 @@ class MicroBatcher:
             while bucket < len(batch):
                 bucket *= 2
             GLOBAL_METRICS.inc(f"{self.name}_window_le_{bucket}_total")
+            with self._inflight_lock:
+                self._inflight += 1
             try:
                 results = self._run([item for item, _ in batch])
                 if len(results) != len(batch):
@@ -116,3 +163,6 @@ class MicroBatcher:
                 for _, cell in batch:
                     cell["error"] = e
                     cell["ev"].set()
+            finally:
+                with self._inflight_lock:
+                    self._inflight -= 1
