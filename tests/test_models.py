@@ -227,3 +227,23 @@ def test_fused_cache_tokens_are_unique():
     b = BiEncoder(spec=spec, batch=2, seq_len=32)
     k2 = b.fused_forward()[1]
     assert k1 != k2
+
+
+def test_spec_from_hf_config(tmp_path):
+    """prove_checkpoint derives the architecture from the checkpoint dir's
+    config.json (HF convention) instead of guessing from the model name."""
+    import json
+
+    from tpu_rag.models.hf_import import spec_from_hf_config
+
+    (tmp_path / "config.json").write_text(json.dumps({
+        "vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "intermediate_size": 64,
+        "max_position_embeddings": 64}))
+    spec = spec_from_hf_config(tmp_path)
+    assert (spec.vocab_size, spec.hidden, spec.layers, spec.heads,
+            spec.ffn, spec.max_len) == (128, 32, 2, 4, 64, 64)
+    assert spec_from_hf_config(tmp_path / "nope") is None
+    (tmp_path / "bad").mkdir()
+    (tmp_path / "bad" / "config.json").write_text("{not json")
+    assert spec_from_hf_config(tmp_path / "bad") is None

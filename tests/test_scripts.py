@@ -116,3 +116,49 @@ def test_ingest_docs_whole_doc(env, monkeypatch, capsys):
     data = _json.loads(capsys.readouterr().out)
     # whole-doc ids (no ::section suffix)
     assert data["hits"][0]["id"] in ("temple", "dragon")
+
+
+def test_prove_checkpoint_turnkey(tmp_path, monkeypatch, capsys):
+    """Turnkey checkpoint proof (VERDICT r3 #7): given HF-format weight
+    dirs, scripts/prove_checkpoint.py must run the torch-parity embed check
+    and the bundled-corpus recall eval in one command.  Exercised with tiny
+    randomly-initialized torch checkpoints (no downloads)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64)
+    torch.manual_seed(0)
+    emb_dir = tmp_path / "minilm-tiny"
+    transformers.BertModel(cfg).eval().save_pretrained(
+        str(emb_dir), safe_serialization=False)
+    ce_dir = tmp_path / "ce-tiny"
+    ce_cfg = transformers.BertConfig(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, num_labels=1)
+    transformers.BertForSequenceClassification(ce_cfg).eval().save_pretrained(
+        str(ce_dir), safe_serialization=False)
+
+    import scripts.prove_checkpoint as pc
+
+    monkeypatch.setattr(sys, "argv", [
+        "prove_checkpoint.py", "--embedding-weights", str(emb_dir),
+        "--rerank-weights", str(ce_dir), "--max-docs", "48", "--k", "5"])
+    rc = pc.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the parity gate must have RUN (torch is present) and passed: the Flax
+    # mapping reproduces the torch forward on the same ids
+    assert report["torch_parity"]["ok"], report["torch_parity"]
+    assert report["torch_parity"]["max_abs_diff"] < 2e-3
+    # recall eval ran over the bundled corpus with the serving-default index
+    br = report["bundled_recall_at_k"]
+    assert br["docs"] > 0 and br["recall_vs_f32"] >= 0.98, br
+    assert "rerank" in report and "pos_score" in report["rerank"]
+    # rerank ORDER is not gated for a random tiny checkpoint — only that the
+    # cross-encoder loaded and scored (real ms-marco weights gate in prod)
+    assert rc in (0, 1)
+    if report["passed"]:
+        assert rc == 0

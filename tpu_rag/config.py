@@ -111,12 +111,12 @@ class Config:
     microbatch_max: int = 64            # max queries fused into one device pass
     microbatch_workers: int = 2         # in-flight windows: worker B tokenizes/
                                         # dispatches while A waits on its readback
-    microbatch_hold_ms: float = 2.0     # adaptive coalescing window: a worker
-                                        # that would dispatch a small batch
-                                        # WHILE another window is already in
-                                        # flight waits up to this long for more
-                                        # arrivals (the in-flight window hides
-                                        # the hold); an idle server never holds
+    microbatch_hold_ms: float = 25.0    # adaptive coalescing CAP: a worker
+                                        # that would dispatch a sub-full batch
+                                        # WHILE another window is in flight
+                                        # accumulates arrivals until the device
+                                        # frees (early dispatch) or this cap
+                                        # expires; an idle server never holds
     http_executor_workers: int = 128    # handler thread pool.  The asyncio
                                         # default (min(32, cpus+4)) caps
                                         # concurrent in-flight requests — and

@@ -102,6 +102,41 @@ def map_bert_state_dict(sd: dict, spec) -> dict:
     return params
 
 
+def spec_from_hf_config(path: str | Path):
+    """BertSpec from a checkpoint dir's config.json (HF convention) — the
+    turnkey proof path (scripts/prove_checkpoint.py) must not guess the
+    architecture from a model NAME when the dir says it exactly.  Returns
+    None when no readable config.json is present."""
+    import json
+
+    p = Path(path)
+    if p.is_dir():
+        cfg_file = p / "config.json"
+    elif p.is_file():  # a weights file: look next to it
+        cfg_file = p.parent / "config.json"
+    else:
+        return None
+    if not cfg_file.is_file():
+        return None
+    try:
+        cfg = json.loads(cfg_file.read_text())
+    except Exception:
+        return None
+    try:
+        from tpu_rag.models.bert import BertSpec
+
+        return BertSpec(
+            vocab_size=int(cfg["vocab_size"]),
+            hidden=int(cfg["hidden_size"]),
+            layers=int(cfg["num_hidden_layers"]),
+            heads=int(cfg["num_attention_heads"]),
+            ffn=int(cfg["intermediate_size"]),
+            max_len=int(cfg.get("max_position_embeddings", 512)),
+        )
+    except (KeyError, ValueError, TypeError):
+        return None
+
+
 def load_bert_params(path: str | Path, spec) -> dict | None:
     sd = _load_state_dict(path)
     if sd is None:

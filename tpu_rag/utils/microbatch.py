@@ -15,11 +15,12 @@ full encoder forward + ANN query — api/app.py:539-566.)
 Adaptive hold (round-4, VERDICT r3 #6): pure drain-what-accumulated still
 dispatched 88 size-1 windows at concurrency 256 (BENCH_r03 window_hist) — a
 just-freed worker grabs a lone early arrival instead of letting stragglers
-join.  The fix keeps the zero-idle-latency invariant: a worker holds a
-SUB-FULL batch open for up to hold_s ONLY while another worker has a window
-in flight — the in-flight device call hides the hold entirely (windows
-serialize on the single chip anyway), and an idle server (no window in
-flight) still dispatches immediately.
+join.  The fix keeps the zero-idle-latency invariant with double-buffered
+collection: while another worker has a window IN FLIGHT (the single chip is
+busy anyway — dispatching early would only queue), a worker keeps its
+sub-full batch open and accumulates arrivals, dispatching the moment the
+device frees, the batch fills, or the hold_ms safety cap expires.  An idle
+server (no window in flight) still dispatches immediately.
 
 With workers > 1, that many windows are in flight at once: while one worker
 blocks on its device readback (a full RTT on tunneled backends), another
@@ -118,29 +119,36 @@ class MicroBatcher:
                 return
             batch = [first]
             keep_going = self._drain(batch)
-            # adaptive hold: only while another window is in flight (its
-            # device call hides the wait), never on an idle server, and only
-            # for sub-full batches.  One blocking get per wake keeps this a
-            # condvar wait, not a spin.
+            # adaptive hold (double-buffered collection): while another
+            # worker's window is IN FLIGHT the device is busy anyway, so
+            # dispatching a small batch now would only queue it — keep
+            # accumulating instead, and dispatch the moment the device
+            # frees (or the safety cap expires, or the batch fills).  An
+            # idle server (no window in flight) never holds.  Measured on
+            # v5e at concurrency 256: a fixed 2 ms hold still left 80
+            # size-1 windows because device windows run ~120 ms — the
+            # hold must track the in-flight window, not a constant.
             if keep_going and self.hold_s > 0 and len(batch) < self.max_batch:
-                with self._inflight_lock:
-                    other_busy = self._inflight > 0
-                if other_busy:
+                held = False
+                deadline = time.monotonic() + self.hold_s
+                while (len(batch) < self.max_batch
+                       and time.monotonic() < deadline):
+                    with self._inflight_lock:
+                        busy = self._inflight > 0
+                    if not busy:
+                        break  # device is free: dispatch now, never idle it
+                    held = True
+                    try:
+                        item = self._q.get(timeout=0.002)
+                    except queue.Empty:
+                        continue
+                    if item == (None, None):
+                        self._q.put(item)
+                        break
+                    batch.append(item)
+                    self._drain(batch)
+                if held:
                     GLOBAL_METRICS.inc(f"{self.name}_held_total")
-                    deadline = time.monotonic() + self.hold_s
-                    while len(batch) < self.max_batch:
-                        left = deadline - time.monotonic()
-                        if left <= 0:
-                            break
-                        try:
-                            item = self._q.get(timeout=left)
-                        except queue.Empty:
-                            break
-                        if item == (None, None):
-                            self._q.put(item)
-                            break
-                        batch.append(item)
-                        self._drain(batch)
             GLOBAL_METRICS.inc(f"{self.name}_batches_total")
             GLOBAL_METRICS.inc(f"{self.name}_items_total", len(batch))
             # window-fill histogram (power-of-two buckets): le_1, le_2, ...
