@@ -253,7 +253,11 @@ class BiEncoder:
     # while i is still executing/reading back, hiding host work and transfer
     # latency behind device compute (the readback sync is per-drain, not
     # per-batch)
-    EMBED_PIPELINE_DEPTH = 3
+    # in-flight embed batches: deeper pipelining overlaps more device
+    # compute with host tokenize/assemble, and the grouped drain turns a
+    # full pipeline's outputs into one readback RTT.  Per-batch device
+    # output is b x dim f32 (~400 KB at 256x384) so depth is HBM-cheap.
+    EMBED_PIPELINE_DEPTH = 8
 
     def embed(self, texts: list[str]) -> np.ndarray:
         """Batched embed: returns (len(texts), dim) float32, L2-normalized.
@@ -288,10 +292,29 @@ class BiEncoder:
         pending: list[tuple[list[int], Any]] = []
 
         def drain(target: int) -> None:
+            # grouped readback: consecutive same-shape pending outputs come
+            # back in ONE stacked transfer (device-side jnp.stack + a single
+            # np.asarray sync) instead of one round-trip each — on tunneled
+            # backends each sync costs a full RTT, and per-batch readbacks
+            # were the second-largest ingest stage (4.3 s of 12.4 s at 20K
+            # docs, ~47 ms per sync).  On a real TPU VM both forms are
+            # microseconds.
             t0 = _time.perf_counter()
             while len(pending) > target:
-                rows_done, emb_dev = pending.pop(0)
-                out[rows_done] = np.asarray(emb_dev)[: len(rows_done)]
+                take = len(pending) - target
+                group = [pending[0]]
+                shape = pending[0][1].shape
+                while (len(group) < take
+                       and pending[len(group)][1].shape == shape):
+                    group.append(pending[len(group)])
+                del pending[: len(group)]
+                if len(group) == 1:
+                    rows_done, emb_dev = group[0]
+                    out[rows_done] = np.asarray(emb_dev)[: len(rows_done)]
+                else:
+                    stacked = np.asarray(jnp.stack([d for _, d in group]))
+                    for gi, (rows_done, _) in enumerate(group):
+                        out[rows_done] = stacked[gi][: len(rows_done)]
             stats["drain_s"] += _time.perf_counter() - t0
 
         i = 0
@@ -310,7 +333,11 @@ class BiEncoder:
             pending.append((rows, fn(self.params, jnp.asarray(ids))))
             stats["dispatch_s"] += _time.perf_counter() - t1
             stats["batches"] += 1
-            drain(self.EMBED_PIPELINE_DEPTH - 1)
+            # burst drain: when the pipeline fills, pull HALF of it back in
+            # one grouped readback (one RTT per depth/2 batches) while the
+            # other half keeps the device busy
+            if len(pending) >= self.EMBED_PIPELINE_DEPTH:
+                drain(self.EMBED_PIPELINE_DEPTH // 2)
             i += len(rows)
         drain(0)
         self.last_embed_stats = stats

@@ -1,13 +1,22 @@
-"""Pallas IVF probe kernel: scalar-prefetch gather + fused scoring.
+"""Pallas IVF probe kernel: scalar-prefetch gather + fused scoring + in-kernel
+per-list top-k.
 
 The XLA probe path (tpu_rag/index/ivf.py _probe_impl) materializes the
 gathered candidates (Q, nprobe, cap, d) in HBM before the einsum — at
 nprobe=64, cap=768, d=384 that's ~3GB of gather traffic for an 8-query
 batch.  This kernel instead uses PrefetchScalarGridSpec: the selected list
 ids are prefetched scalars, and each grid step DMAs exactly one (cap, d)
-list block straight into VMEM, scores it against its query on the MXU, and
-writes only the (cap,) masked scores.  Traffic drops to the bytes actually
-scored (nprobe * cap * d per query), read once.
+list block straight into VMEM and scores it against its query.
+
+Round-4 rework: the kernel also selects the per-list top-k IN KERNEL (exact,
+lowest-index tie-break — identical ordering to lax.top_k over the flat
+scores).  The old kernel wrote every (cap,) score row back to HBM and ranked
+with one giant lax.top_k over (Q, nprobe*cap) — at 10M rows (cap 4992,
+nprobe 64, 32 queries) that is a 40 MB score tensor, an equally large
+row-id gather, and a 320K-wide top_k, which dominated the probe at ~170 ms
+per batch (~5% of the DMA floor, BENCH round-4 interim capture).  Writing
+only (k,) scores + ids per list shrinks the epilogue by cap/k (~500x) and
+the final merge runs over nprobe*k candidates.
 """
 
 from __future__ import annotations
@@ -19,11 +28,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpu_rag.ops.topk import PAD_TAG
+from tpu_rag.ops.topk import PAD_TAG, _round_up
+
+_LANE = 128
 
 
-def _probe_kernel(lists_ref, wants_ref, q_ref, vec_ref, scale_ref, ns_ref,
-                  canon_ref, out_ref, *, cap: int, is_int8: bool):
+def _probe_topk_kernel(lists_ref, wants_ref, q_ref, vec_ref, scale_ref,
+                       ns_ref, canon_ref, sc_ref, id_ref, *, cap: int,
+                       k_eff: int, kpad: int, is_int8: bool):
     # f32 operands: Mosaic rejects bf16 matvec with f32 accumulation here
     # (vector.broadcast verification error); the upcast happens in VMEM
     x = vec_ref[0].astype(jnp.float32)              # (cap, d)
@@ -41,7 +53,26 @@ def _probe_kernel(lists_ref, wants_ref, q_ref, vec_ref, scale_ref, ns_ref,
     ok = (ns != PAD_TAG)
     ok &= (want_ns < 0) | (ns == want_ns)
     ok &= (want_canon < 0) | (canon == want_canon)
-    out_ref[0, 0] = jnp.where(ok, s, jnp.float32(-jnp.inf))
+    neg_inf = jnp.float32(-jnp.inf)
+    s = jnp.where(ok, s, neg_inf)
+
+    # exact top-k_eff with lowest-index tie-break — the same candidate
+    # ordering lax.top_k produces over the flat per-list scores, so the
+    # host-side merge reproduces _probe_impl bit for bit
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (1, kpad), 1)
+    sc_acc = jnp.full((1, kpad), neg_inf, jnp.float32)
+    id_acc = jnp.full((1, kpad), -1, jnp.int32)
+    for j in range(k_eff):
+        m = jnp.max(s, axis=1, keepdims=True)                 # (1, 1)
+        is_m = s == m
+        idx = jnp.min(jnp.where(is_m, col, jnp.int32(cap)),
+                      axis=1, keepdims=True)                  # first winner
+        sc_acc = jnp.where(kcol == j, m, sc_acc)
+        id_acc = jnp.where(kcol == j, idx, id_acc)
+        s = jnp.where(col == idx, neg_inf, s)                 # knock it out
+    sc_ref[0, 0] = sc_acc
+    id_ref[0, 0] = id_acc
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "interpret"))
@@ -74,7 +105,10 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
     ns3 = ns_lists.reshape(nlist, 1, cap)
     canon3 = canon_lists.reshape(nlist, 1, cap)
 
-    kern = functools.partial(_probe_kernel, cap=cap, is_int8=is_int8)
+    k_eff = min(k, cap)
+    kpad = _round_up(max(k_eff, 1), _LANE)
+    kern = functools.partial(_probe_topk_kernel, cap=cap, k_eff=k_eff,
+                             kpad=kpad, is_int8=is_int8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # lists_flat, wants
         grid=(qn, nprobe),
@@ -89,22 +123,38 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
             pl.BlockSpec((1, 1, cap),
                          lambda qi, pi, lists, wants: (lists[qi * nprobe + pi], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, cap),
-                               lambda qi, pi, lists, wants: (qi, pi, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, kpad),
+                         lambda qi, pi, lists, wants: (qi, pi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, kpad),
+                         lambda qi, pi, lists, wants: (qi, pi, 0, 0)),
+        ],
     )
-    scores = pl.pallas_call(
+    sc_l, id_l = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((qn, nprobe, 1, cap), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((qn, nprobe, 1, kpad), jnp.float32),
+                   jax.ShapeDtypeStruct((qn, nprobe, 1, kpad), jnp.int32)],
         interpret=interpret,
     )(lists_flat, wants.astype(jnp.int32), q3, vec_lists, scale3,
       ns3, canon3)
-    scores = scores.reshape(qn, nprobe, cap)
+    sc_l = sc_l[:, :, 0, :k_eff]                       # (Q, nprobe, k_eff)
+    id_l = id_l[:, :, 0, :k_eff]
 
-    flat_scores = scores.reshape(qn, nprobe * cap)
-    flat_rows = row_lists[lists].reshape(qn, nprobe * cap)
-    k_eff = min(k, nprobe * cap)
-    top_sc, pos = jax.lax.top_k(flat_scores, k_eff)
+    # merge the per-list winners: candidates are ordered (probe-major,
+    # in-list-rank-minor), which for equal scores matches the flat
+    # (probe-major, in-list-index-minor) order _probe_impl ranks over, so
+    # lax.top_k's lowest-index tie-break yields identical rows
+    flat_scores = sc_l.reshape(qn, nprobe * k_eff)
+    # gather ONLY the selected rows' ids: lists*cap + local index into the
+    # flattened row map (the old (Q, nprobe, cap) row gather was 40 MB at
+    # 10M scale)
+    safe_local = jnp.maximum(id_l, 0)
+    gidx = (lists[:, :, None].astype(jnp.int32) * cap + safe_local)
+    flat_rows = row_lists.reshape(-1)[gidx.reshape(qn, -1)]
+    flat_rows = jnp.where(id_l.reshape(qn, -1) < 0, -1, flat_rows)
+    k_out = min(k, nprobe * k_eff)
+    top_sc, pos = jax.lax.top_k(flat_scores, k_out)
     top_rows = jnp.take_along_axis(flat_rows, pos, axis=1)
     top_rows = jnp.where(jnp.isneginf(top_sc), -1, top_rows)
     return top_sc, top_rows
