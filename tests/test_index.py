@@ -542,3 +542,20 @@ def test_auto_dtype_resolves_and_crosses_threshold(tmp_path):
     assert loaded.dtype_config == "auto" and loaded.dtype == "bfloat16"
     loaded.auto_int8_min_rows = 500
     assert loaded.dtype == "int8"
+
+
+def test_refine_k_scan_mode_dispatch():
+    """The oversample policy is part of the recall contract: bf16 2x, int8
+    refine_factor*x, packed >= max(4k, 64) (tie-census cover), f32 none."""
+    from tpu_rag.index.flat import refine_k_scan
+    from tpu_rag.ops.topk import packed_k_scan
+
+    n = 100_000
+    assert refine_k_scan("bfloat16", 4, 10, n) == 20          # bf16 -> 2x
+    assert refine_k_scan("int8", 4, 10, n) == 40              # int8 -> rf*x
+    assert refine_k_scan("float32", 4, 10, n) == 10           # no refine
+    assert refine_k_scan("bfloat16", 0, 10, n) == 10          # refine off
+    assert refine_k_scan("bfloat16", 4, 10, n, mode="packed") == 64
+    assert packed_k_scan(10, n) == 64
+    assert packed_k_scan(32, n) == 128                        # 4k > floor
+    assert packed_k_scan(10, 30) == 30                        # clamp to n
