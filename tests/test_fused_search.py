@@ -193,7 +193,8 @@ def test_fused_readback_ids_are_normal_floats(tmp_path):
     flushes to zero in data movement.  CPU preserves the bits, so this test
     asserts the encoding invariant instead: every id lane of the packed
     array must be a normal finite float (exponent != 0), which the _ID_BIAS
-    guarantees for ids in [-1, 2^31 - 2^23 - 2) on every backend."""
+    guarantees for ids in [-1, 2^31 - 2^24 - 2) on every backend (above that
+    the bias lands in the 0x7F800000+ inf/NaN binade)."""
     import jax
 
     from tpu_rag.index import flat as flat_mod

@@ -48,9 +48,11 @@ KILL_GRANULE = 64
 
 # Added to int32 row ids before they are bitcast into the fused-path's f32
 # readback (search_fused): id -1 maps to bitpattern 0x00800000 (the smallest
-# normal positive float) and every id up to ~2.13e9 stays a normal float —
-# raw small ids are denormal bitpatterns that real TPU hardware flushes to
-# zero (every served id read back as row 0 on v5e; see search_fused).
+# normal positive float) and every id up to 2^31 - 2^24 - 2 (~2.130e9) stays
+# a normal FINITE float — ids above that bias into the 0x7F800000+ inf/NaN
+# patterns, which hardware may canonicalize.  Raw small ids are denormal
+# bitpatterns that real TPU hardware flushes to zero (every served id read
+# back as row 0 on v5e; see search_fused).
 _ID_BIAS = 0x00800001
 
 
@@ -67,11 +69,15 @@ def refine_k_scan(dtype: str, refine_factor: int, k: int, n: int,
     mode="packed" (explicit opt-in only) selects at ~fp16 score resolution
     with index tie-breaks, so its oversample must cover the equal-key tie
     census, not just quantization reorder — packed_k_scan's floor (measured
-    on v5e at 100K clustered rows, ops/topk.py)."""
-    if refine_factor <= 0 or dtype not in ("int8", "bfloat16"):
-        return k
+    on v5e at 100K clustered rows, ops/topk.py).  The packed branch comes
+    BEFORE the refine-off guard on purpose: an explicit search_mode='packed'
+    with f32 storage or refine_factor=0 must still oversample + host-refine,
+    or it reproduces the exact tie-flood recall loss (0.8031 recall@10)
+    this function exists to prevent."""
     if mode == "packed":
         return packed_k_scan(k, n)
+    if refine_factor <= 0 or dtype not in ("int8", "bfloat16"):
+        return k
     f = refine_factor if dtype == "int8" else min(refine_factor, 2)
     return min(max(k * f, k), max(n, 1))
 
@@ -1022,8 +1028,10 @@ class FlatIndex:
                 # served id decoded as row 0 on v5e (caught by the round-4
                 # serving-path recall gate, bench.py e2e_recall_at_10; CPU
                 # CI preserved the bit patterns and never saw it).  The
-                # bias maps [-1, 2^31 - 2^23 - 2) onto normal positive
-                # float bitpatterns, which every backend moves losslessly.
+                # bias maps [-1, 2^31 - 2^24 - 2) onto normal positive
+                # FINITE float bitpatterns, which every backend moves
+                # losslessly (ids above that bound would bias into the
+                # 0x7F800000+ inf/NaN range).
                 parts = [sc, jax.lax.bitcast_convert_type(
                     ii + jnp.int32(_ID_BIAS), jnp.float32)]
                 if ret_qv:

@@ -516,7 +516,8 @@ class IVFIndex(FlatIndex):
                 i = 6
                 cap = vec_lists.shape[1]
                 k_main = min(k, nprobe * cap)
-                if use_pallas_probe:
+                from tpu_rag.ops.ivf_probe import _K_EFF_MAX
+                if use_pallas_probe and min(k_main, cap) <= _K_EFF_MAX:
                     from tpu_rag.ops.ivf_probe import ivf_probe_pallas
                     sc1, rows1 = ivf_probe_pallas(
                         q, centroids, vec_lists, scale_lists, ns_lists,

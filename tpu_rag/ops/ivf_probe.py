@@ -32,6 +32,11 @@ from tpu_rag.ops.topk import PAD_TAG, _round_up
 
 _LANE = 128
 
+# Upper bound on the in-kernel unrolled top-k pass count (ADVICE r4): above
+# this the kernel size / compile time grow without bound; callers fall back
+# to the XLA probe.
+_K_EFF_MAX = 128
+
 
 def _probe_topk_kernel(lists_ref, wants_ref, q_ref, vec_ref, scale_ref,
                        ns_ref, canon_ref, sc_ref, id_ref, *, cap: int,
@@ -82,9 +87,20 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
     """Same contract as ivf._probe_impl: returns (scores (Q,k), live rows (Q,k)).
 
     q: (Q, d) f32; vec_lists: (nlist, cap, d); wants: (2,) int32.
+
+    Bound: the in-kernel top-k unrolls min(k, cap) max-reduce passes per
+    grid step, so kernel size and compile time grow linearly in k.  Callers
+    passing an oversampled k_scan above _K_EFF_MAX must use the XLA probe
+    path (ivf._probe_impl) instead — this entry point raises rather than
+    silently compiling a megakernel.
     """
     qn, d = q.shape
     nlist, cap, _ = vec_lists.shape
+    if min(k, cap) > _K_EFF_MAX:
+        raise ValueError(
+            f"ivf_probe_pallas: k_eff={min(k, cap)} exceeds _K_EFF_MAX="
+            f"{_K_EFF_MAX} (the per-list top-k is unrolled in-kernel); "
+            "use the XLA probe path for larger oversampled k_scan")
     is_int8 = vec_lists.dtype == jnp.int8
 
     sims_c = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)

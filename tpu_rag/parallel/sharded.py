@@ -305,7 +305,8 @@ def make_sharded_ivf_search(mesh: Mesh, *, k: int, nprobe: int, axis: str = "dat
         parts_sc, parts_rows = [], []
         cap = vl.shape[1]
         k_main = min(k, nprobe * cap)
-        if use_pallas:
+        from tpu_rag.ops.ivf_probe import _K_EFF_MAX
+        if use_pallas and min(k_main, cap) <= _K_EFF_MAX:
             from tpu_rag.ops.ivf_probe import ivf_probe_pallas
             sc1, rows1 = ivf_probe_pallas(
                 q, centroids, vl, sl, nl, cl, rl, wants,

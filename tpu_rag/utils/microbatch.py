@@ -146,7 +146,8 @@ class MicroBatcher:
                         self._q.put(item)
                         break
                     batch.append(item)
-                    self._drain(batch)
+                    if not self._drain(batch):
+                        break  # sentinel seen: stop holding, dispatch now
                 if held:
                     GLOBAL_METRICS.inc(f"{self.name}_held_total")
             GLOBAL_METRICS.inc(f"{self.name}_batches_total")
