@@ -318,6 +318,57 @@ def test_ivf_probe_pallas_matches_xla():
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
 
 
+def test_ivf_probe_batched_recall_and_consistency():
+    """Batch-shared probe (interpret mode): per-query candidates come from
+    that query's own nprobe lists, returned scores are the true (scaled)
+    dot products, filters hold, and recall vs the exact XLA probe is high
+    (the per-bucket top-2 reduction is approximate by design)."""
+    import jax.numpy as jnp
+
+    from tpu_rag.index.ivf import _probe_impl
+    from tpu_rag.ops.ivf_probe import ivf_probe_batched
+    from tpu_rag.ops.topk import PAD_TAG
+
+    rng = np.random.default_rng(1)
+    nlist, cap, d, Q, nprobe, k = 16, 256, 128, 6, 4, 5
+    centroids = rng.standard_normal((nlist, d)).astype(np.float32)
+    vec_lists = rng.standard_normal((nlist, cap, d)).astype(np.float32)
+    ns = rng.integers(0, 3, (nlist, cap)).astype(np.int32)
+    ns[:, -8:] = PAD_TAG
+    canon = np.zeros((nlist, cap), np.int32)
+    rows = np.arange(nlist * cap, dtype=np.int32).reshape(nlist, cap)
+    scales = np.ones((nlist, cap), np.float32)
+    q = rng.standard_normal((Q, d)).astype(np.float32)
+    wants = jnp.array([1, -1], jnp.int32)
+
+    args = (jnp.asarray(q), jnp.asarray(centroids), jnp.asarray(vec_lists),
+            jnp.asarray(scales), jnp.asarray(ns), jnp.asarray(canon),
+            jnp.asarray(rows), wants)
+    sc1, r1 = _probe_impl(*args, nprobe=nprobe, k=k)
+    sc2, r2 = ivf_probe_batched(*args, nprobe=nprobe, k=k, interpret=True)
+    sc1, r1 = np.asarray(sc1), np.asarray(r1)
+    sc2, r2 = np.asarray(sc2), np.asarray(r2)
+
+    sims = q @ centroids.T
+    probed = np.argsort(-sims, axis=1)[:, :nprobe]
+    hits = total = 0
+    for i in range(Q):
+        got = r2[i][r2[i] >= 0]
+        assert len(set(got.tolist())) == len(got)          # no dup rows
+        for j, row in enumerate(r2[i]):
+            if row < 0:
+                continue
+            li, si = divmod(int(row), cap)                 # rows == slot ids
+            assert li in probed[i]                         # own-list candidates
+            assert ns[li, si] == 1                         # filter respected
+            true = float(q[i] @ vec_lists[li, si])
+            np.testing.assert_allclose(sc2[i, j], true, atol=1e-4)
+        want = set(r1[i][r1[i] >= 0].tolist())
+        hits += len(want & set(got.tolist()))
+        total += len(want)
+    assert hits / max(total, 1) >= 0.9
+
+
 def test_ivf_centroid_persistence_skips_kmeans(tmp_path, monkeypatch):
     """Reloading a persisted IVF index reuses the saved centroids (k-means
     only re-runs when the corpus doubles past what they were trained on)."""
