@@ -472,8 +472,9 @@ def test_auto_search_mode_runs_bucketed_kernel():
     q = rng.standard_normal((4, 64)).astype(np.float32)
     truth = exact.search(q, 10)
     got = a.search(q, 10)
-    assert any(key[0] == "pallas" and key[3] == "bucketed"
-               for key in a._xla_fn_cache if isinstance(key, tuple) and len(key) == 4)
+    assert any(key[0] == "direct" and key[4] == "bucketed" and key[5]
+               for key in a._xla_fn_cache
+               if isinstance(key, tuple) and len(key) == 8)
     rec = np.mean([len(set(t) & set(x)) / 10 for t, x in zip(truth.ids, got.ids)])
     assert rec >= 0.95
 

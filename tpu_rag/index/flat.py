@@ -831,6 +831,88 @@ class FlatIndex:
             return "bucketed"
         return "exact"
 
+    def _scan_refine_core(self, *, use_pallas: bool, bn: int, mode: str,
+                          k_scan: int, k: int, k_out: int, n_pad: int,
+                          have_append: bool, dev_refine: bool):
+        """Traceable scan -> append-block scan -> device residual refine.
+
+        The single compiled body behind BOTH serving entry points:
+        search_fused (encoder forward fused in front) and the direct
+        search() device path (pre-embedded queries).  Returns (sc, ii) —
+        top-k_out scores and device ids (append rows at n_pad + slot).
+        """
+
+        def core(q, x, s, ns_t, canon_t, w, extras):
+            if use_pallas:
+                sc, ii = fused_matmul_topk(
+                    q, x, k_scan, db_scales=s, ns_tags=ns_t,
+                    canon_tags=canon_t, wants=w, assume_padded=True,
+                    block_n=bn, mode=mode)
+            else:
+                sc, ii = topk_xla_reference(
+                    q, x, k_scan, db_scales=s, ns_tags=ns_t,
+                    canon_tags=canon_t, want_ns=w[0, 0],
+                    want_canon=w[0, 1])
+            ii = ii.astype(jnp.int32)
+            if have_append:
+                # scan the (fixed-capacity, mostly PAD) append block in
+                # the SAME executable; its ids live at n_pad + slot
+                k_a = min(k_scan, extras["a_vectors"].shape[0])
+                sc_a, ii_a = topk_xla_reference(
+                    q, extras["a_vectors"], k_a,
+                    db_scales=extras["a_scales"], ns_tags=extras["a_ns"],
+                    canon_tags=extras["a_canon"], want_ns=w[0, 0],
+                    want_canon=w[0, 1])
+                ii_a = jnp.where(ii_a >= 0, ii_a.astype(jnp.int32) + n_pad,
+                                 -1)
+                sc = jnp.concatenate([sc, sc_a], axis=1)
+                ii = jnp.concatenate([ii, ii_a], axis=1)
+            if dev_refine:
+                # residual refine on device: stored + int8 residual ~ f32
+                # (rel err ~1e-5); re-score every candidate with the f32
+                # query, keep the top k
+                safe = jnp.clip(ii, 0, n_pad - 1)
+                cand = (x[safe].astype(jnp.float32)
+                        * s[safe][..., None]
+                        + extras["r_vectors"][safe].astype(jnp.float32)
+                        * extras["r_scales"][safe][..., None])
+                if have_append:
+                    slot = jnp.clip(ii - n_pad, 0,
+                                    extras["a_vectors"].shape[0] - 1)
+                    cand_a = (extras["a_vectors"][slot].astype(jnp.float32)
+                              * extras["a_scales"][slot][..., None]
+                              + extras["a_r_vectors"][slot].astype(jnp.float32)
+                              * extras["a_r_scales"][slot][..., None])
+                    cand = jnp.where((ii >= n_pad)[..., None], cand_a, cand)
+                exact = jnp.einsum("qd,qkd->qk", q, cand,
+                                   preferred_element_type=jnp.float32)
+                exact = jnp.where((ii >= 0) & jnp.isfinite(sc), exact,
+                                  -jnp.inf)
+                sc, pos = jax.lax.top_k(exact, k)
+                ii = jnp.take_along_axis(ii, pos, axis=1)
+            else:
+                merged = min(k_out, sc.shape[1])
+                sc, pos = jax.lax.top_k(sc, merged)
+                ii = jnp.take_along_axis(ii, pos, axis=1)
+            return sc, ii
+
+        return core
+
+    def _refine_extras(self, snap: dict[str, Any], *, have_append: bool,
+                       dev_refine: bool) -> dict[str, Any]:
+        """Snapshot slices the scan core needs, keyed as it expects them."""
+        extras: dict[str, Any] = {}
+        if have_append:
+            for e in ("a_vectors", "a_scales", "a_ns", "a_canon"):
+                extras[e] = snap[e]
+        if dev_refine:
+            extras["r_vectors"] = snap["r_vectors"]
+            extras["r_scales"] = snap["r_scales"]
+            if have_append:
+                extras["a_r_vectors"] = snap["a_r_vectors"]
+                extras["a_r_scales"] = snap["a_r_scales"]
+        return extras
+
     def search(
         self,
         queries: np.ndarray,
@@ -875,38 +957,58 @@ class FlatIndex:
         if wants is None:
             wants = jnp.array([[want_ns, want_canon]], jnp.int32)
             self._wants_cache[(want_ns, want_canon)] = wants
-        if use_pallas_path:
-            # one jitted callable per (k, tile, mode): the pallas_call, its
-            # padding/slicing glue, and the final merge top_k compile into a
-            # SINGLE executable -> one dispatch per search (eager glue ops
-            # each cost a dispatch, which dominates at small corpora)
-            pfn = self._xla_fn_cache.get(("pallas", k_scan, snap["bn"], mode))
-            if pfn is None:
-                bn = snap["bn"]
-                pfn = jax.jit(lambda q, x, s, ns, canon, w: fused_matmul_topk(
-                    q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
-                    wants=w, block_n=bn, assume_padded=True, mode=mode))
-                self._xla_fn_cache[("pallas", k_scan, snap["bn"], mode)] = pfn
+        # device residual refine + in-executable append scan (same compiled
+        # body as search_fused): ONE dispatch and ONE packed readback per
+        # search instead of scan-readback + host f32 gather + per-query
+        # numpy re-score — the host refine alone held FlatIndex.search() at
+        # ~491 QPS at 2.5M rows (BENCH_r04 auto_dtype_2m5) while the raw
+        # kernel did 7,358
+        n_pad = snap["n_pad"]
+        dev_refine = "r_vectors" in snap and k_scan > k
+        have_append = "a_vectors" in snap
+        k_out = k if dev_refine else k_scan
+        key = ("direct", k, k_scan, snap["bn"], mode, use_pallas_path,
+               dev_refine, have_append)
+        fn = self._xla_fn_cache.get(key)
+        if fn is None:
+            core = self._scan_refine_core(
+                use_pallas=use_pallas_path, bn=snap["bn"], mode=mode,
+                k_scan=k_scan, k=k, k_out=k_out, n_pad=n_pad,
+                have_append=have_append, dev_refine=dev_refine)
+
+            def impl(q, x, s, ns_t, canon_t, w, extras):
+                sc, ii = core(q, x, s, ns_t, canon_t, w, extras)
+                # one packed readback: scores | bitcast biased ids (see
+                # search_fused on _ID_BIAS — raw ids < 2^23 bitcast to
+                # denormals that real TPU hardware flushes to zero)
+                return jnp.concatenate(
+                    [sc, jax.lax.bitcast_convert_type(
+                        ii + jnp.int32(_ID_BIAS), jnp.float32)], axis=1)
+
             # mode "packed" only ever arrives here by EXPLICIT opt-in
             # (auto resolves exact/bucketed — effective_search_mode), so
             # kernel failures surface to the caller unwrapped
-            sc, idx = pfn(qj, snap["vectors"], snap["scales"],
-                          snap["ns"], snap["canon"], wants)
-        else:
-            fn = self._xla_fn_cache.get(k_scan)
-            if fn is None:
-                fn = jax.jit(lambda q, x, s, ns, canon, w: topk_xla_reference(
-                    q, x, k_scan, db_scales=s, ns_tags=ns, canon_tags=canon,
-                    want_ns=w[0, 0], want_canon=w[0, 1]))
-                self._xla_fn_cache[k_scan] = fn
-            sc, idx = fn(qj, snap["vectors"], snap["scales"],
-                         snap["ns"], snap["canon"], wants)
-        sc, idx = np.asarray(sc), np.asarray(idx)
-        # device rows -> host rows (base snapshot); padded/invalid rows -> -1
-        hrows = self._device_to_host_rows(sc, idx, snap["rows"], snap["n"])
-        if snap.get("a_fill", 0) > 0:
-            sc, hrows = self._merge_append_block(qj, sc, hrows, snap, k_scan, wants)
-        if k_scan > k:
+            fn = jax.jit(impl)
+            self._xla_fn_cache[key] = fn
+        extras = self._refine_extras(snap, have_append=have_append,
+                                     dev_refine=dev_refine)
+        packed = np.asarray(fn(qj, snap["vectors"], snap["scales"],
+                               snap["ns"], snap["canon"], wants, extras))
+        sc = packed[:, :k_out].copy()
+        idx = (np.ascontiguousarray(packed[:, k_out:2 * k_out])
+               .view(np.int32) - _ID_BIAS)
+        in_append = idx >= n_pad
+        hrows = self._device_to_host_rows(sc, np.where(in_append, -1, idx),
+                                          snap["rows"], snap["n"])
+        if have_append and in_append.any():
+            rows_map = snap.get("a_rows_map", self._append_rows)
+            slots = np.clip(idx - n_pad, 0, len(rows_map) - 1)
+            hrows = np.where(in_append & np.isfinite(sc),
+                             rows_map[slots], hrows)
+        if snap.get("a_fill", 0) > 0 and not have_append:
+            sc, hrows = self._merge_append_block(qj, sc, hrows, snap,
+                                                 k_scan, wants)
+        if k_scan > k and not dev_refine:
             sc, hrows = self._refine_exact(queries, sc, hrows, k, snap=snap)
         return self._to_result(sc, hrows, snap=snap)
 
@@ -960,61 +1062,14 @@ class FlatIndex:
                dev_refine, have_append)
         fn = self._xla_fn_cache.get(key)
         if fn is None:
-            bn = snap["bn"]
+            core = self._scan_refine_core(
+                use_pallas=use_pallas, bn=snap["bn"], mode=mode,
+                k_scan=k_scan, k=k, k_out=k_out, n_pad=n_pad,
+                have_append=have_append, dev_refine=dev_refine)
 
             def impl(params, tids, tmask, x, s, ns_t, canon_t, w, extras):
                 q = forward(params, tids, tmask)
-                if use_pallas:
-                    sc, ii = fused_matmul_topk(
-                        q, x, k_scan, db_scales=s, ns_tags=ns_t,
-                        canon_tags=canon_t, wants=w, assume_padded=True,
-                        block_n=bn, mode=mode)
-                else:
-                    sc, ii = topk_xla_reference(
-                        q, x, k_scan, db_scales=s, ns_tags=ns_t,
-                        canon_tags=canon_t, want_ns=w[0, 0],
-                        want_canon=w[0, 1])
-                ii = ii.astype(jnp.int32)
-                if have_append:
-                    # scan the (fixed-capacity, mostly PAD) append block in
-                    # the SAME executable; its ids live at n_pad + slot
-                    k_a = min(k_scan, extras["a_vectors"].shape[0])
-                    sc_a, ii_a = topk_xla_reference(
-                        q, extras["a_vectors"], k_a,
-                        db_scales=extras["a_scales"], ns_tags=extras["a_ns"],
-                        canon_tags=extras["a_canon"], want_ns=w[0, 0],
-                        want_canon=w[0, 1])
-                    ii_a = jnp.where(ii_a >= 0, ii_a.astype(jnp.int32) + n_pad,
-                                     -1)
-                    sc = jnp.concatenate([sc, sc_a], axis=1)
-                    ii = jnp.concatenate([ii, ii_a], axis=1)
-                if dev_refine:
-                    # residual refine on device: stored + int8 residual ~ f32
-                    # (rel err ~1e-5); re-score every candidate with the f32
-                    # query the encoder just produced, keep the top k
-                    safe = jnp.clip(ii, 0, n_pad - 1)
-                    cand = (x[safe].astype(jnp.float32)
-                            * s[safe][..., None]
-                            + extras["r_vectors"][safe].astype(jnp.float32)
-                            * extras["r_scales"][safe][..., None])
-                    if have_append:
-                        slot = jnp.clip(ii - n_pad, 0,
-                                        extras["a_vectors"].shape[0] - 1)
-                        cand_a = (extras["a_vectors"][slot].astype(jnp.float32)
-                                  * extras["a_scales"][slot][..., None]
-                                  + extras["a_r_vectors"][slot].astype(jnp.float32)
-                                  * extras["a_r_scales"][slot][..., None])
-                        cand = jnp.where((ii >= n_pad)[..., None], cand_a, cand)
-                    exact = jnp.einsum("qd,qkd->qk", q, cand,
-                                       preferred_element_type=jnp.float32)
-                    exact = jnp.where((ii >= 0) & jnp.isfinite(sc), exact,
-                                      -jnp.inf)
-                    sc, pos = jax.lax.top_k(exact, k)
-                    ii = jnp.take_along_axis(ii, pos, axis=1)
-                else:
-                    merged = min(k_out, sc.shape[1])
-                    sc, pos = jax.lax.top_k(sc, merged)
-                    ii = jnp.take_along_axis(ii, pos, axis=1)
+                sc, ii = core(q, x, s, ns_t, canon_t, w, extras)
                 # pack (scores | bitcast ids | embeddings?) into ONE f32
                 # array: a single host readback instead of three — each
                 # separate np.asarray sync costs a full RTT on tunneled
@@ -1040,16 +1095,8 @@ class FlatIndex:
 
             fn = jax.jit(impl)
             self._xla_fn_cache[key] = fn
-        extras = {}
-        if have_append:
-            for e in ("a_vectors", "a_scales", "a_ns", "a_canon"):
-                extras[e] = snap[e]
-        if dev_refine:
-            extras["r_vectors"] = snap["r_vectors"]
-            extras["r_scales"] = snap["r_scales"]
-            if have_append:
-                extras["a_r_vectors"] = snap["a_r_vectors"]
-                extras["a_r_scales"] = snap["a_r_scales"]
+        extras = self._refine_extras(snap, have_append=have_append,
+                                     dev_refine=dev_refine)
         # mode "packed" only ever arrives here by explicit opt-in (auto
         # resolves exact/bucketed), so kernel failures surface unwrapped
         packed = np.asarray(fn(params, jnp.asarray(ids),

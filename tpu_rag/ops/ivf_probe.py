@@ -41,16 +41,32 @@ _K_EFF_MAX = 128
 def _probe_topk_kernel(lists_ref, wants_ref, q_ref, vec_ref, scale_ref,
                        ns_ref, canon_ref, sc_ref, id_ref, *, cap: int,
                        k_eff: int, kpad: int, is_int8: bool):
-    # f32 operands: Mosaic rejects bf16 matvec with f32 accumulation here
-    # (vector.broadcast verification error); the upcast happens in VMEM
-    x = vec_ref[0].astype(jnp.float32)              # (cap, d)
-    qv = q_ref[0].astype(jnp.float32)               # (1, d) — this step's query
-    s = jax.lax.dot_general(
-        x, qv, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).T                                             # (1, cap)
     if is_int8:
-        s = s * scale_ref[0]                        # (1, cap)
+        # native int8 x int8 MXU matmul with int32 accumulation — the same
+        # recipe as ops/topk _topk_tile_kernel.  The f32 upcast this kernel
+        # used through round 4 kept the dot off the int8 MXU path and made
+        # the probe compute-bound at ~120ms/batch regardless of nprobe
+        # (round-5 sweep) while the flat kernel scanned ALL 10M rows in 8ms.
+        # The per-QUERY scale is applied by the caller after the kernel
+        # (constant per query -> order-preserving); the per-ROW scale must
+        # stay in-kernel because it reorders candidates.
+        x = vec_ref[0]                              # (cap, d) int8
+        qv = q_ref[0]                               # (1, d) int8
+        s = jax.lax.dot_general(
+            x, qv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32).T                     # (1, cap)
+        s = s * scale_ref[0]                        # (1, cap) db-row scales
+    else:
+        # f32 operands (bf16 upcast in VMEM): Mosaic rejects bf16 matvec
+        # with f32 accumulation at this shape (vector.broadcast verification
+        # error), and f32 stays bit-exact vs _probe_impl (parity tests)
+        x = vec_ref[0].astype(jnp.float32)          # (cap, d)
+        qv = q_ref[0].astype(jnp.float32)           # (1, d) — this step's query
+        s = jax.lax.dot_general(
+            x, qv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).T                                         # (1, cap)
     ns = ns_ref[0]                                  # (1, cap)
     canon = canon_ref[0]                            # (1, cap)
     want_ns = wants_ref[0]
@@ -107,14 +123,23 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
     _, lists = jax.lax.top_k(sims_c, nprobe)           # (Q, nprobe)
     lists_flat = lists.reshape(-1).astype(jnp.int32)   # scalar prefetch
 
-    # int8 lists keep the QUERIES in f32: the kernel upcasts both operands to
-    # f32 anyway, so a bf16 hop would only truncate ~2^-8 query precision and
-    # diverge from _probe_impl on near-ties (q is tiny — no DMA savings)
-    compute_dtype = (jnp.bfloat16 if vec_lists.dtype == jnp.bfloat16
-                     else jnp.float32 if is_int8 else vec_lists.dtype)
+    # int8 lists quantize the QUERIES too (ops/topk fused_matmul_topk does
+    # the same): the kernel contracts int8 x int8 on the MXU with int32
+    # accumulation, and the per-query scale — constant within a query, so
+    # order-preserving — is applied to the final top-k scores below
+    if is_int8:
+        from tpu_rag.ops.quant import quantize_int8_rows
+
+        q8, qscale = quantize_int8_rows(q.astype(jnp.float32))
+        q_in = q8
+    else:
+        compute_dtype = (jnp.bfloat16 if vec_lists.dtype == jnp.bfloat16
+                         else vec_lists.dtype)
+        q_in = q.astype(compute_dtype)
+        qscale = None
     # singleton middle axis: (1, 1, d) query blocks indexed by the grid
     # (dynamic in-kernel row slices can't be proven sublane-aligned)
-    q3 = q.astype(compute_dtype).reshape(qn, 1, d)
+    q3 = q_in.reshape(qn, 1, d)
     # singleton middle axis so (1, 1, cap) blocks satisfy the (sublane, lane)
     # tiling rules (second-to-last block dim == full array dim 1)
     scale3 = scale_lists.reshape(nlist, 1, cap)
@@ -173,6 +198,9 @@ def ivf_probe_pallas(q, centroids, vec_lists, scale_lists, ns_lists,
     top_sc, pos = jax.lax.top_k(flat_scores, k_out)
     top_rows = jnp.take_along_axis(flat_rows, pos, axis=1)
     top_rows = jnp.where(jnp.isneginf(top_sc), -1, top_rows)
+    if qscale is not None:
+        # per-query int8 scale: positive, so -inf sentinels survive
+        top_sc = top_sc * qscale[:, None]
     return top_sc, top_rows
 
 
@@ -216,13 +244,25 @@ def _batched_bucket_kernel(uniq_ref, nu_ref, wants_ref, q_ref, vec_ref,
     def _live():
         x = vec_ref[0]                                     # (cap, d)
         if is_int8:
-            x = x.astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q_ref[...], x, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (qp, cap)
-        if is_int8:
-            s = s * scale_ref[0]                           # bcast (1, cap)
+            # native int8 x int8 MXU matmul, int32 accumulation — the flat
+            # kernel's recipe (ops/topk.py _topk_tile_kernel).  The DB tile
+            # streams through the systolic array with the small query matrix
+            # stationary; the f32-upcast dot this kernel used at first kept
+            # it off the int8 MXU path (~120ms/batch flat across nprobe,
+            # round-5 sweep).  Per-QUERY int8 scales are applied by the
+            # caller after the merge (order-preserving within a query).
+            s_t = jax.lax.dot_general(
+                x, q_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                              # (cap, qp) int32
+            s = s_t.astype(jnp.float32).T                  # (qp, cap)
+            s = s * scale_ref[0]                           # db scales (1, cap)
+        else:
+            s = jax.lax.dot_general(
+                q_ref[...], x, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # (qp, cap)
         ns = ns_ref[0]                                     # (1, cap)
         canon = canon_ref[0]
         want_ns = wants_ref[0]
@@ -305,8 +345,18 @@ def ivf_probe_batched(q, centroids, vec_lists, scale_lists, ns_lists,
               .at[perm].set(slot).reshape(qn, nprobe))
 
     qp = _round_up(max(qn, 8), 8)                          # sublane-align Q
-    q_pad = jnp.zeros((qp, d), jnp.float32).at[:qn].set(
-        q.astype(jnp.float32))
+    if is_int8:
+        # quantize the queries too: int8 x int8 MXU matmul in-kernel, with
+        # the (order-preserving) per-query scale applied after the merge
+        from tpu_rag.ops.quant import quantize_int8_rows
+
+        qf = jnp.zeros((qp, d), jnp.float32).at[:qn].set(
+            q.astype(jnp.float32))
+        q_pad, qscale = quantize_int8_rows(qf)
+    else:
+        q_pad = jnp.zeros((qp, d), jnp.float32).at[:qn].set(
+            q.astype(jnp.float32))
+        qscale = None
     scale3 = scale_lists.reshape(nlist, 1, cap)
     ns3 = ns_lists.reshape(nlist, 1, cap)
     canon3 = canon_lists.reshape(nlist, 1, cap)
@@ -361,6 +411,9 @@ def ivf_probe_batched(q, centroids, vec_lists, scale_lists, ns_lists,
     top_sc, pos = jax.lax.top_k(cand_sc, k_out)
     top_rows = jnp.take_along_axis(flat_rows, pos, axis=1)
     top_rows = jnp.where(jnp.isneginf(top_sc), -1, top_rows)
+    if qscale is not None:
+        # per-query int8 scale: positive, so -inf sentinels survive
+        top_sc = top_sc * qscale[:qn, None]
     if k_out < k:
         top_sc = jnp.pad(top_sc, ((0, 0), (0, k - k_out)),
                          constant_values=-jnp.inf)
