@@ -517,7 +517,19 @@ class IVFIndex(FlatIndex):
                 cap = vec_lists.shape[1]
                 k_main = min(k, nprobe * cap)
                 from tpu_rag.ops.ivf_probe import _K_EFF_MAX
-                if use_pallas_probe and min(k_main, cap) <= _K_EFF_MAX:
+                if (use_pallas_probe and q.shape[0] >= 4
+                        and cap % 128 == 0
+                        and k_main <= nprobe * 2 * (cap // 128)):
+                    # batch-shared probe: the union of the batch's probed
+                    # lists is DMA'd once and scored against every query on
+                    # the MXU (round-5; the per-(query,probe) grid below
+                    # re-fetches each list once per query that probes it)
+                    from tpu_rag.ops.ivf_probe import ivf_probe_batched
+                    sc1, rows1 = ivf_probe_batched(
+                        q, centroids, vec_lists, scale_lists, ns_lists,
+                        canon_lists, row_lists, wants[0], nprobe=nprobe,
+                        k=k_main, interpret=interpret)
+                elif use_pallas_probe and min(k_main, cap) <= _K_EFF_MAX:
                     from tpu_rag.ops.ivf_probe import ivf_probe_pallas
                     sc1, rows1 = ivf_probe_pallas(
                         q, centroids, vec_lists, scale_lists, ns_lists,
