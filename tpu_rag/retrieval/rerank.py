@@ -28,6 +28,10 @@ def _znorm(vals: list[float]) -> list[float]:
 
 def rerank_hits(cross_encoder, query: str, hits: list[dict],
                 mode: str = "replace", alpha: float = 0.5) -> list[dict]:
+    """mode: "replace" (reference parity: sort by CE score), "ensemble"
+    (z-score blend), or "annotate" (attach rerank_score, keep the retriever
+    order — the quality-gate fallback when a checkpoint's own eval manifest
+    shows its ensemble LOSES to the retriever it wraps)."""
     if not hits or cross_encoder is None:
         return hits
     try:
@@ -38,6 +42,8 @@ def rerank_hits(cross_encoder, query: str, hits: list[dict],
         return hits
     for h, s in zip(hits, scores):
         h["rerank_score"] = float(s)
+    if mode == "annotate":
+        return hits
     if mode == "ensemble" and len(hits) > 1:
         # Retriever similarity comes from two distributions: vector hits
         # carry a distance (1 - cos, ~[0, 2]) while FTS hits (id prefix
