@@ -36,6 +36,29 @@ def _worker(host: str, port: int, path: str, mode: str, k: int, batch: int,
     i = 0
     while time.perf_counter() < deadline:
         i += 1
+        if mode == "stub":
+            # GET /health: the same HTTP+threadpool+JSON machinery with no
+            # engine work — measures the pure host-side ceiling of this
+            # client+server pair (on a 1-core box they share the core)
+            t0 = time.perf_counter()
+            try:
+                conn.request("GET", path, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                if resp.status == 200 and data:
+                    ok += 1
+                    qok += 1
+                    lats.append((time.perf_counter() - t0) * 1000.0)
+                else:
+                    failed += 1
+            except Exception:
+                failed += 1
+                try:
+                    conn.close()
+                    conn = http.client.HTTPConnection(host, port, timeout=60)
+                except Exception:
+                    pass
+            continue
         if mode == "batched":
             body = json.dumps({
                 "queries": [f"load w{wid} r{i} q{j} topic {wid * 131 + i * 17 + j}"
@@ -82,7 +105,7 @@ def _proc_load(base: str, mode: str, concurrency: int, duration: float,
 
     u = urlsplit(base)
     host, port = u.hostname, u.port or 80
-    path = "/search"
+    path = "/health" if mode == "stub" else "/search"
 
     if warmup > 0:
         wout: dict = {}
@@ -156,7 +179,7 @@ def run_load(base: str, *, mode: str = "single", concurrency: int = 96,
 
     u = urlsplit(base)
     host, port = u.hostname, u.port or 80
-    path = "/search"
+    path = "/health" if mode == "stub" else "/search"
 
     # warmup phase (not measured): fill pools, compile anything cold
     if warmup > 0:
@@ -206,7 +229,7 @@ def run_load(base: str, *, mode: str = "single", concurrency: int = 96,
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--base", default="http://127.0.0.1:8000")
-    ap.add_argument("--mode", choices=("single", "batched"), default="single")
+    ap.add_argument("--mode", choices=("single", "batched", "stub"), default="single")
     ap.add_argument("--concurrency", type=int, default=96)
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--warmup", type=float, default=2.0)
