@@ -782,6 +782,66 @@ def main() -> None:
                     len(set(bids[i]) & set(btruth[i])) / k for i in range(64)])), 4)
             except Exception as e:
                 bundled["hnsw_error"] = str(e)[:120]
+            # batched-mode point (VERDICT r4 #8): one .search() call with a
+            # 256-query batch — the bulk-client shape the TPU serves best
+            try:
+                bq256 = bx[brng.integers(0, bn_rows, 256)] + \
+                    0.2 * brng.standard_normal(
+                        (256, bx.shape[1])).astype(np.float32)
+                bq256 /= np.linalg.norm(bq256, axis=1, keepdims=True)
+                bidx.search(bq256, k)  # warm the 256-query shape
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    bidx.search(bq256, k)
+                bundled["qps_tpu_batched"] = round(
+                    256 * 20 / (time.perf_counter() - t0), 1)
+            except Exception as e:
+                bundled["batched_error"] = str(e)[:120]
+            # break-even sweep (VERDICT r4 #8): the bundled corpus mirrors
+            # the reference's ~1K-doc config where a 1-core HNSW walk beats
+            # a tunneled TPU dispatch; grow the SAME distribution and record
+            # where the TPU flat scan passes HNSW-CPU (and 10x it)
+            try:
+                from tpu_rag.index import FlatIndex
+
+                be_rows = []
+                breakeven = breakeven10 = None
+                for n_be in (4096, 16384, 65536, 262144):
+                    gen_be = np.random.default_rng(7)
+                    xb = bx[gen_be.integers(0, bn_rows, n_be)] + \
+                        0.15 * gen_be.standard_normal(
+                            (n_be, bx.shape[1])).astype(np.float32)
+                    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+                    fi = FlatIndex(bx.shape[1], dtype="auto",
+                                   use_pallas=use_pallas)
+                    fi.add([str(i) for i in range(n_be)], xb,
+                           ["t"] * n_be, [{} for _ in range(n_be)])
+                    fi.search(bq, k)  # warm/compile + snapshot
+                    t0 = time.perf_counter()
+                    for _ in range(10):
+                        fi.search(bq, k)
+                    q_t = 64 * 10 / (time.perf_counter() - t0)
+                    bh2 = CpuHnswIndex(bx.shape[1], n_be, m=16,
+                                       ef_construction=100)
+                    bh2.add(xb)
+                    bh2.search(bq, k, ef=64)
+                    t0 = time.perf_counter()
+                    for _ in range(10):
+                        bh2.search(bq, k, ef=64)
+                    q_h = 64 * 10 / (time.perf_counter() - t0)
+                    be_rows.append({"n": n_be, "qps_tpu": round(q_t, 1),
+                                    "qps_hnsw_cpu": round(q_h, 1),
+                                    "ratio": round(q_t / max(q_h, 1e-9), 2)})
+                    if breakeven is None and q_t >= q_h:
+                        breakeven = n_be
+                    if breakeven10 is None and q_t >= 10 * q_h:
+                        breakeven10 = n_be
+                    del fi, bh2, xb
+                bundled["breakeven_sweep"] = be_rows
+                bundled["breakeven_n"] = breakeven
+                bundled["breakeven_10x_n"] = breakeven10
+            except Exception as e:
+                bundled["breakeven_error"] = str(e)[:120]
     except Exception as e:
         bundled = {"error": str(e)[:200]}
 
@@ -1442,7 +1502,7 @@ def main() -> None:
         "bundled_demo": _pick(record.get("bundled_demo") or {},
                               ("qps_tpu", "qps_tpu_batched", "qps_hnsw_cpu",
                                "recall_at_10_tpu", "recall_at_10_hnsw",
-                               "breakeven_n")),
+                               "breakeven_n", "breakeven_10x_n")),
         "encoder_mfu": _pick((record.get("encoder_ingest") or {}),
                              ("mfu", "docs_per_s")),
         "encoder_mfu_device": _pick(
