@@ -1395,6 +1395,7 @@ def main() -> None:
             rec25 = float(np.mean([
                 len(set(res25.rows[i]) & set(gt25[i].tolist())) / k
                 for i in range(q25)]))
+            stats25 = idx25.last_search_stats or {}
             auto_2m5 = {
                 "n": n25, "dim": d, "dtype_config": "auto",
                 "dtype_resolved": idx25.dtype,
@@ -1402,6 +1403,11 @@ def main() -> None:
                 "build_s": round(build25_s, 1),
                 "qps": round(q25 / dt25, 1),
                 "recall_at_10_vs_f32": round(rec25, 4),
+                # per-call stage split (VERDICT r4 #4): prep = snapshot +
+                # glue, device = ONE dispatch incl. in-executable residual
+                # refine + packed readback, decode = id decode + result rows
+                "stages_ms": {kk.replace("_s", ""): round(vv * 1e3, 2)
+                              for kk, vv in stats25.items()},
             }
             del idx25, x25
         except Exception as e:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import threading
+import time
 from dataclasses import dataclass, field
 
 from typing import Any
@@ -248,6 +249,9 @@ class FlatIndex:
         self._device: dict[str, Any] | None = None  # lazily built snapshot
         self._dirty = True
         self._wants_cache: dict[tuple[int, int], Any] = {}  # device arrays
+        # wall-time split of the most recent search() call (bench reads it:
+        # snapshot/bookkeeping vs device dispatch+readback vs host decode)
+        self.last_search_stats: dict[str, float] | None = None
         self._xla_fn_cache: dict[int, Any] = {}  # jitted XLA search per k
         # incremental snapshot refresh: adds stream into a device append
         # block, deletes flip tags in place; a full re-upload happens only
@@ -921,6 +925,7 @@ class FlatIndex:
         namespace: str | None = None,
         canonicality: str | None = None,
     ) -> SearchResult:
+        t_enter = time.perf_counter()
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -992,8 +997,10 @@ class FlatIndex:
             self._xla_fn_cache[key] = fn
         extras = self._refine_extras(snap, have_append=have_append,
                                      dev_refine=dev_refine)
+        t_disp = time.perf_counter()
         packed = np.asarray(fn(qj, snap["vectors"], snap["scales"],
                                snap["ns"], snap["canon"], wants, extras))
+        t_done = time.perf_counter()
         sc = packed[:, :k_out].copy()
         idx = (np.ascontiguousarray(packed[:, k_out:2 * k_out])
                .view(np.int32) - _ID_BIAS)
@@ -1010,7 +1017,14 @@ class FlatIndex:
                                                  k_scan, wants)
         if k_scan > k and not dev_refine:
             sc, hrows = self._refine_exact(queries, sc, hrows, k, snap=snap)
-        return self._to_result(sc, hrows, snap=snap)
+        out = self._to_result(sc, hrows, snap=snap)
+        t_end = time.perf_counter()
+        self.last_search_stats = {
+            "prep_s": t_disp - t_enter,          # snapshot + glue
+            "device_s": t_done - t_disp,         # dispatch + device + readback
+            "decode_s": t_end - t_done,          # id decode + result build
+        }
+        return out
 
     def search_fused(self, forward, fkey, params, ids, mask, nq: int, k: int,
                      *, namespace: str | None = None,
