@@ -611,3 +611,54 @@ def test_refine_k_scan_mode_dispatch():
     assert packed_k_scan(10, n) == 64
     assert packed_k_scan(32, n) == 128                        # 4k > floor
     assert packed_k_scan(10, 30) == 30                        # clamp to n
+
+
+def test_ivf_probe_int8_mxu_path_matches_quantized_truth():
+    """int8 lists route both pallas probes through the int8 x int8 MXU
+    recipe (round 5): queries are quantized in the wrapper, per-query scale
+    applied after the merge.  Candidates must match the XLA probe's (same
+    quantized corpus) and returned scores must equal the true scaled dot
+    products up to query-quantization error (~1-2%, same as the flat int8
+    path)."""
+    import jax.numpy as jnp
+
+    from tpu_rag.index.ivf import _probe_impl
+    from tpu_rag.ops.ivf_probe import ivf_probe_batched, ivf_probe_pallas
+    from tpu_rag.ops.quant import quantize_int8_rows
+    from tpu_rag.ops.topk import PAD_TAG
+
+    rng = np.random.default_rng(3)
+    nlist, cap, d, Q, nprobe, k = 16, 256, 128, 6, 6, 10
+    centroids = rng.standard_normal((nlist, d)).astype(np.float32)
+    vecs = rng.standard_normal((nlist * cap, d)).astype(np.float32)
+    v8, s8 = quantize_int8_rows(jnp.asarray(vecs))
+    vec_lists = v8.reshape(nlist, cap, d)
+    scales = np.asarray(s8).reshape(nlist, cap)
+    ns = np.zeros((nlist, cap), np.int32)
+    ns[:, -8:] = PAD_TAG
+    rows = np.arange(nlist * cap, dtype=np.int32).reshape(nlist, cap)
+    q = rng.standard_normal((Q, d)).astype(np.float32)
+    wants = jnp.array([-1, -1], jnp.int32)
+    args = (jnp.asarray(q), jnp.asarray(centroids), vec_lists,
+            jnp.asarray(scales), jnp.asarray(ns), jnp.asarray(ns),
+            jnp.asarray(rows), wants)
+
+    sc0, r0 = _probe_impl(*args, nprobe=nprobe, k=k)
+    sc1, r1 = ivf_probe_pallas(*args, nprobe=nprobe, k=k, interpret=True)
+    sc2, r2 = ivf_probe_batched(*args, nprobe=nprobe, k=k, interpret=True)
+    r0, r1, r2 = map(np.asarray, (r0, r1, r2))
+    ov1 = np.mean([len(set(r0[i]) & set(r1[i])) / k for i in range(Q)])
+    ov2 = np.mean([len(set(r0[i]) & set(r2[i])) / k for i in range(Q)])
+    assert ov1 >= 0.9, ov1   # exact per-list top-k: near-identical
+    assert ov2 >= 0.8, ov2   # bucketed top-2-per-128-lane: approximate
+
+    flat_v = np.asarray(vec_lists).reshape(-1, d).astype(np.float32)
+    flat_s = scales.reshape(-1)
+    for sc_p, r_p in ((np.asarray(sc1), r1), (np.asarray(sc2), r2)):
+        for i in range(Q):
+            for sval, rw in zip(sc_p[i], r_p[i]):
+                if rw < 0:
+                    continue
+                true = float(q[i] @ (flat_v[rw] * flat_s[rw]))
+                # query-quantization error bound: d * (q_absmax/127)/2 * |v|
+                assert abs(sval - true) <= 0.35, (sval, true)
