@@ -633,7 +633,6 @@ class FlatIndex:
         scales = (jnp.zeros((n_pad,), jnp.float32) if is_int8
                   else jnp.ones((n_pad,), jnp.float32))
         c = min(self.stream_upload_chunk, n_pad)
-        stage = np.zeros((c, self.dim), np.float32)
         i = 0
         while i < n:
             # dynamic_update_slice CLAMPS out-of-range starts: a tail chunk
@@ -644,9 +643,13 @@ class FlatIndex:
             off = min(i, n_pad - c)
             rows = live[off:min(off + c, n)]
             g = len(rows)
+            # fresh staging buffer per chunk: on the CPU backend
+            # jnp.asarray can ALIAS the numpy buffer zero-copy, and jax
+            # dispatch is async — refilling a reused buffer races the
+            # in-flight chunk's read (observed as flaky tail corruption in
+            # test_streamed_compact_tail_clamp)
+            stage = np.zeros((c, self.dim), np.float32)
             stage[:g] = self._vectors[rows]
-            if g < c:
-                stage[g:] = 0.0
             vals, scales = _upload_master_chunk(
                 vals, scales, jnp.asarray(stage), jnp.int32(g), jnp.int32(off),
                 is_int8=is_int8)
