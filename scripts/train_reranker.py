@@ -100,6 +100,10 @@ def main() -> None:
                     help="negatives per positive in each batch")
     ap.add_argument("--cand-k", type=int, default=20,
                     help="candidates reranked per held-out query at eval")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="steps between val rerank evals; the served ckpt "
+                         "is the best val ensemble recall@10, not the last "
+                         "step (0 = off)")
     ap.add_argument("--holdout-frac", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-only", action="store_true")
@@ -222,6 +226,35 @@ def main() -> None:
         # rounds replace them with the CE's own hardest (see remine below)
         hard: list[np.ndarray] = [hp[: args.hard_k] for hp in hard_pool]
 
+        # validation slice for best-checkpoint selection (--eval-every):
+        # round-5 measured 18K steps -> CE-alone 0.6314 but 30K -> 0.5924 —
+        # the ranking loss overfits well before the schedule ends, so the
+        # served checkpoint must be picked by held-out rerank quality, not
+        # by the last step.  Val queries are EXCLUDED from training batches
+        # and from re-mining; their candidates are the bi-encoder's top
+        # cand_k train bodies — the exact distribution the CE reranks at
+        # serving time.
+        val_n = min(1000, len(train_docs) // 10)
+        stride = max(1, len(train_docs) // max(val_n, 1))
+        val_loc = np.arange(0, len(train_docs), stride)[:val_n]
+        val_set = set(int(i) for i in val_loc)
+        train_pool = np.array(
+            [i for i in range(len(train_docs)) if i not in val_set])
+        val_tgt = tpos[val_loc]                       # corpus rows
+        val_cand = np.empty((len(val_loc), args.cand_k), np.int64)
+        val_bi_sc = np.empty((len(val_loc), args.cand_k), np.float32)
+        for off in range(0, len(val_loc), 512):
+            vq = tq[val_loc[off:off + 512]]
+            scores = vq @ demb_train.T
+            part = np.argpartition(-scores, args.cand_k,
+                                   axis=1)[:, : args.cand_k]
+            srt = np.argsort(-np.take_along_axis(scores, part, axis=1),
+                             axis=1)
+            part = np.take_along_axis(part, srt, axis=1)
+            val_cand[off:off + 512] = tpos[part]
+            val_bi_sc[off:off + 512] = np.take_along_axis(scores, part,
+                                                          axis=1)
+
         print(f"[3/4] ranking training: {args.steps} steps x {args.batch} pairs "
               f"(groups of 1 pos + {args.neg_per_pos} negs) ...", flush=True)
         # Initialize the trunk FROM the trained bi-encoder (the way real
@@ -325,7 +358,7 @@ def main() -> None:
         opt_state = optimizer.init(params)
 
         def sample_batch():
-            qi = rng.choice(len(train_docs), size=n_pos, replace=False)
+            qi = rng.choice(train_pool, size=n_pos, replace=False)
             rows = []
             for i in qi:
                 gq = id_pos[train_docs[i]["id"]]
@@ -346,14 +379,58 @@ def main() -> None:
             lambda p, ids, mask, types: module.apply(
                 {"params": p}, ids, mask, types))
 
+        def score_pairs(params, meta: list[tuple[int, int]]) -> np.ndarray:
+            """CE scores for (query_row, doc_row) corpus pairs, fixed-shape
+            batched (B=512) so the jit compiles once."""
+            out = np.empty(len(meta), np.float32)
+            B = 512
+            for off in range(0, len(meta), B):
+                chunk = meta[off:off + B]
+                rows = [pair_rows(gq, c, args.seq_len) for (gq, c) in chunk]
+                while len(rows) < B:
+                    rows.append(rows[-1])
+                ids, mask, types = assemble_pairs(rows, args.seq_len)
+                sc = np.asarray(score_fn(params, jnp.asarray(ids),
+                                         jnp.asarray(mask),
+                                         jnp.asarray(types)))
+                out[off:off + len(chunk)] = sc.reshape(-1)[: len(chunk)]
+            return out
+
+        def _zn(x: np.ndarray) -> np.ndarray:
+            return ((x - x.mean(axis=1, keepdims=True))
+                    / np.maximum(x.std(axis=1, keepdims=True), 1e-6))
+
+        def val_eval(params) -> dict:
+            """Rerank-quality on the val slice: CE-alone recall@10 and the
+            best ensemble recall@10 over the serving alpha grid."""
+            meta = [(int(tpos[v]), int(c))
+                    for j, v in enumerate(val_loc) for c in val_cand[j]]
+            ce = score_pairs(params, meta).reshape(len(val_loc), args.cand_k)
+
+            def r10(order_sc: np.ndarray) -> float:
+                hit = 0
+                for j in range(len(val_loc)):
+                    rr = val_cand[j][np.argsort(-order_sc[j], kind="stable")]
+                    w = np.flatnonzero(rr == val_tgt[j])
+                    hit += int(len(w) > 0 and w[0] < 10)
+                return hit / max(len(val_loc), 1)
+
+            zb, zc = _zn(val_bi_sc), _zn(ce)
+            ens = {a: r10((1 - a) * zb + a * zc)
+                   for a in (0.2, 0.3, 0.4, 0.5)}
+            best_a = max(ens, key=ens.get)
+            return {"ce_alone": r10(ce), "ensemble": ens[best_a],
+                    "alpha": best_a, "bi": r10(val_bi_sc)}
+
         def remine(params, rnd: int) -> None:
             """Iterative mining: CE-score each selected train query's
             bi-mined candidate pool with the CURRENT checkpoint; its
             top-scoring non-targets become the active negatives — the pairs
             the CE itself currently confuses with the positive."""
-            n_sel = min(args.mine_queries, len(train_docs))
-            start = (rnd * n_sel) % len(train_docs)
-            sel = [(start + j) % len(train_docs) for j in range(n_sel)]
+            n_sel = min(args.mine_queries, len(train_pool))
+            start = (rnd * n_sel) % len(train_pool)
+            sel = [int(train_pool[(start + j) % len(train_pool)])
+                   for j in range(n_sel)]
             meta: list[tuple[int, int, int]] = []
             for i in sel:
                 gq = id_pos[train_docs[i]["id"]]
@@ -385,11 +462,27 @@ def main() -> None:
         snapshot = jax.tree_util.tree_map(jnp.copy, params)
         snapshot_step = 0
         at_chance = 0  # consecutive 100-step checks pinned at chance
+        best = {"ensemble": -1.0, "ce_alone": -1.0, "step": -1,
+                "params": None}
         step = 0
         for rnd in range(rounds):
             while step < bounds[rnd]:
                 ids, mask, types = sample_batch()
                 params, opt_state, loss = step_fn(params, opt_state, ids, mask, types)
+                if (args.eval_every and step > 0
+                        and step % args.eval_every == 0):
+                    ev = val_eval(params)
+                    tag = ""
+                    if (ev["ensemble"], ev["ce_alone"]) > (
+                            best["ensemble"], best["ce_alone"]):
+                        best = {**ev, "step": step,
+                                "params": jax.tree_util.tree_map(
+                                    jnp.copy, params)}
+                        tag = "  <- best"
+                    print(f"  [val @{step}] ce_alone {ev['ce_alone']:.4f}  "
+                          f"ensemble {ev['ensemble']:.4f} "
+                          f"(alpha {ev['alpha']})  bi {ev['bi']:.4f}{tag}",
+                          flush=True)
                 if step % 100 == 0 or step == args.steps - 1:
                     lv = float(loss)
                     print(f"  step {step:5d}  loss {lv:.4f}  "
@@ -426,6 +519,16 @@ def main() -> None:
 
         import orbax.checkpoint as ocp
 
+        if best["params"] is not None:
+            fin = val_eval(params)
+            if (fin["ensemble"], fin["ce_alone"]) <= (
+                    best["ensemble"], best["ce_alone"]):
+                print(f"  restoring best checkpoint (step {best['step']}: "
+                      f"val ensemble {best['ensemble']:.4f} / ce_alone "
+                      f"{best['ce_alone']:.4f}; final was "
+                      f"{fin['ensemble']:.4f} / {fin['ce_alone']:.4f})",
+                      flush=True)
+                params = best["params"]
         params_f32 = jax.tree_util.tree_map(
             lambda a: np.asarray(a, np.float32), params)
         ck = ocp.StandardCheckpointer()

@@ -247,3 +247,70 @@ def test_spec_from_hf_config(tmp_path):
     (tmp_path / "bad").mkdir()
     (tmp_path / "bad" / "config.json").write_text("{not json")
     assert spec_from_hf_config(tmp_path / "bad") is None
+
+
+def test_flash_attention_matches_xla_path():
+    """The fused-attention kernel (ops/attention.py, interpret mode on CPU)
+    must reproduce the XLA attention path's pooled embeddings bit-for-bit
+    up to f32 noise, across padded rows and both head-group sizes — and the
+    param tree must stay byte-compatible with the nn.MHA layout so every
+    existing checkpoint loads unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from tpu_rag.models.bert import (BertEncoder, BertSpec, l2_normalize,
+                                     mean_pool)
+
+    spec = BertSpec(vocab_size=1000, hidden=64, layers=2, heads=4, ffn=128,
+                    max_len=256)
+    ids = np.array(jax.random.randint(jax.random.PRNGKey(0), (3, 128), 5, 999))
+    ids[0, 40:] = 0
+    ids[1, 100:] = 0
+    mask = (ids != 0).astype(np.int32)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    ref = BertEncoder(spec, flash=False)
+    fl = BertEncoder(spec, flash=True)
+    params = ref.init(jax.random.PRNGKey(1), ids, mask)["params"]
+    assert (jtu.tree_structure(params)
+            == jtu.tree_structure(fl.init(jax.random.PRNGKey(1), ids,
+                                          mask)["params"]))
+    p_ref = l2_normalize(mean_pool(ref.apply({"params": params}, ids, mask),
+                                   mask))
+    p_fl = l2_normalize(mean_pool(fl.apply({"params": params}, ids, mask),
+                                  mask))
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_fl),
+                               atol=2e-6)
+
+
+def test_fused_mha_head_group_sizes():
+    """heads_per_step must not change results (including the indivisible
+    fallback to 1) and the (B, T) key mask must be honored."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rag.ops.attention import fused_mha
+
+    b, t, h, d = 2, 128, 6, 16
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, t, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, t, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, t, h, d), jnp.float32)
+    mask = np.ones((b, t), np.int32)
+    mask[0, 50:] = 0
+    mask = jnp.asarray(mask)
+
+    import flax.linen as nn
+
+    attn_mask = (mask[:, None, None, :] > 0) & (mask[:, None, :, None] > 0)
+    want = nn.dot_product_attention(q, k, v, mask=attn_mask)
+    outs = [np.asarray(fused_mha(q, k, v, mask, heads_per_step=g,
+                                 interpret=True))
+            for g in (0, 1, 2, 3, 4, 6, 5)]  # 5 does not divide 6 -> hb=1
+    # pad-query rows diverge by design (dropped by pooling): compare real
+    real = np.asarray(mask, bool)
+    for o in outs:
+        np.testing.assert_allclose(o[real], np.asarray(want)[real],
+                                    atol=2e-5)

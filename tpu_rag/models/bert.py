@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -28,20 +29,58 @@ class BertSpec:
     ln_eps: float = 1e-12
 
 
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with a fused-kernel fast path.
+
+    The param tree (query/key/value/out DenseGenerals) is byte-identical to
+    flax.linen.MultiHeadDotProductAttention's, so every existing checkpoint
+    (HF imports, orbax trained ckpts) loads unchanged.  With flash=True the
+    scores+softmax+apply run inside ONE Pallas kernel (ops/attention.py) —
+    the (B, H, T, T) score tensor never reaches HBM, which is what bounded
+    the serving forward at mfu_device 0.28 (BENCH_r04 encoder_ingest).
+    flash=False (the default, and all training paths — the kernel defines
+    no VJP) is the original XLA attention, numerics unchanged."""
+
+    spec: BertSpec
+    dtype: jnp.dtype = jnp.float32
+    flash: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, attn_mask):
+        s = self.spec
+        head_dim = s.hidden // s.heads
+        proj = {"features": (s.heads, head_dim), "axis": -1,
+                "dtype": self.dtype}
+        q = nn.DenseGeneral(**proj, name="query")(x)
+        k = nn.DenseGeneral(**proj, name="key")(x)
+        v = nn.DenseGeneral(**proj, name="value")(x)
+        t = x.shape[1]
+        # the kernel wins when the (T, T) score tile is big enough that its
+        # HBM round-trip dominates; tiny buckets keep the XLA path.  On
+        # non-TPU backends it runs in interpret mode (tests force flash=True
+        # on CPU for parity coverage; serving only sets it on TPU).
+        if self.flash and t >= 128:
+            from tpu_rag.ops.attention import fused_mha
+
+            o = fused_mha(q, k, v, mask,
+                          interpret=jax.default_backend() != "tpu")
+        else:
+            o = nn.dot_product_attention(q, k, v, mask=attn_mask,
+                                         dtype=self.dtype)
+        return nn.DenseGeneral(s.hidden, axis=(-2, -1), dtype=self.dtype,
+                               name="out")(o)
+
+
 class BertLayer(nn.Module):
     spec: BertSpec
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
-    def __call__(self, x, attn_mask):
+    def __call__(self, x, mask, attn_mask):
         s = self.spec
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=s.heads,
-            qkv_features=s.hidden,
-            out_features=s.hidden,
-            dtype=self.dtype,
-            name="attention",
-        )(x, x, mask=attn_mask)
+        attn = SelfAttention(s, dtype=self.dtype, flash=self.flash,
+                             name="attention")(x, mask, attn_mask)
         x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="attention_ln")(x + attn)
         h = nn.Dense(s.ffn, dtype=self.dtype, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
@@ -54,11 +93,13 @@ class BertEncoder(nn.Module):
     """Returns final hidden states (B, T, H). Pooling lives in the heads.
 
     remat=True rematerializes each layer in the backward pass (training
-    memory/FLOPs trade — jax.checkpoint via nn.remat)."""
+    memory/FLOPs trade — jax.checkpoint via nn.remat).  flash=True routes
+    attention through the fused Pallas kernel (serving-only: no VJP)."""
 
     spec: BertSpec
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    flash: bool = False
 
     @nn.compact
     def __call__(self, ids, mask, type_ids=None):
@@ -73,11 +114,15 @@ class BertEncoder(nn.Module):
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=s.ln_eps, dtype=self.dtype, name="embeddings_ln")(x)
 
-        # (B, 1, T, T) additive-free boolean attention mask
-        attn_mask = (mask[:, None, None, :] > 0) & (mask[:, None, :, None] > 0)
+        flash = self.flash and t >= 128
+        # (B, 1, T, T) additive-free boolean attention mask — only built for
+        # the XLA path; the fused kernel derives its key mask from (B, T)
+        attn_mask = (None if flash else
+                     (mask[:, None, None, :] > 0) & (mask[:, None, :, None] > 0))
         layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
         for i in range(s.layers):
-            x = layer_cls(s, dtype=self.dtype, name=f"layer_{i}")(x, attn_mask)
+            x = layer_cls(s, dtype=self.dtype, flash=flash,
+                          name=f"layer_{i}")(x, mask, attn_mask)
         return x
 
 

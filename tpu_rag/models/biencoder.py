@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import os
 
 import numpy as np
 
@@ -126,7 +127,13 @@ class BiEncoder:
         # host-stage wall-times of the most recent embed() call (the ingest
         # bench reads it for the tokenize/assemble/dispatch/drain split)
         self.last_embed_stats: dict | None = None
-        self.module = BertEncoder(self.spec, dtype=self.compute_dtype)
+        # serving forward: fused-attention kernel on TPU (FLASH_ATTENTION=0
+        # reverts to the XLA attention path; training never sets flash —
+        # the kernel defines no VJP)
+        flash = (jax.default_backend() == "tpu"
+                 and os.getenv("FLASH_ATTENTION", "1") != "0")
+        self.module = BertEncoder(self.spec, dtype=self.compute_dtype,
+                                  flash=flash)
         self.params = restored if restored is not None else self._init_params(weights_path)
         self._param_shardings = None
         if mesh is not None:

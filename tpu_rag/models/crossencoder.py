@@ -24,10 +24,12 @@ from tpu_rag.models.tokenizer import encode_pair_batch, load_tokenizer
 class CrossEncoderModule(nn.Module):
     spec: BertSpec
     dtype: jnp.dtype = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, ids, mask, type_ids):
-        hidden = BertEncoder(self.spec, dtype=self.dtype, name="bert")(ids, mask, type_ids)
+        hidden = BertEncoder(self.spec, dtype=self.dtype, flash=self.flash,
+                             name="bert")(ids, mask, type_ids)
         cls = hidden[:, 0, :]
         pooled = jnp.tanh(nn.Dense(self.spec.hidden, dtype=self.dtype, name="pooler")(cls))
         logit = nn.Dense(1, dtype=self.dtype, name="classifier")(pooled)
@@ -64,7 +66,14 @@ class CrossEncoder:
         self.seq_len = min(seq_len, self.spec.max_len)
         self.batch = batch
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.spec.vocab_size)
-        self.module = CrossEncoderModule(self.spec, dtype=self.compute_dtype)
+        import os
+
+        # serving reranker: fused-attention kernel on TPU (see BiEncoder);
+        # the reranker trainer builds its own module with flash off
+        flash = (jax.default_backend() == "tpu"
+                 and os.getenv("FLASH_ATTENTION", "1") != "0")
+        self.module = CrossEncoderModule(self.spec, dtype=self.compute_dtype,
+                                         flash=flash)
         self.params = restored if restored is not None else self._init_params(weights_path)
         self._jit_cache: dict[tuple[int, int], any] = {}
 
